@@ -1,0 +1,105 @@
+"""Shared model building blocks (Flax linen), designed for the MXU.
+
+The BiLSTM is the only sequential op in either model; it is implemented as a
+``lax.scan`` whose per-step work is a single (B, H) @ (H, 4H) GEMM — the
+input projection for *all* timesteps is hoisted out of the scan into one
+(B*T, C) @ (C, 4H) GEMM so the MXU sees large matmuls and the scan carries
+only the recurrence.  Gate order/activations match Keras LSTM (i, f, c, o;
+sigmoid recurrent activation, tanh activation, unit forget bias) so weights
+trained against the reference architecture transfer 1:1.
+
+BatchNorm uses Keras defaults (momentum 0.99, eps 1e-3) — the reference models
+interleave BN through every residual block (`overlap_detector.py:227-256`,
+`speaker_identification.py:168-190`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LSTM", "BiLSTM", "KerasBatchNorm", "leaky_relu"]
+
+
+def leaky_relu(x, alpha: float = 0.3):
+    """Keras LeakyReLU default alpha=0.3 (overlap_detector.py:386)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+class KerasBatchNorm(nn.Module):
+    """BatchNorm with Keras defaults; axis=-1 features."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+        )(x)
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM over ``x (B, T, C)`` returning the last hidden
+    state ``(B, H)`` (Keras ``LSTM(units)`` with return_sequences=False).
+
+    ``reverse=True`` reproduces Keras ``go_backwards=True``: the sequence is
+    consumed from t=T-1 down to t=0 and the final state (at t=0) is returned.
+    """
+
+    units: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        H = self.units
+        kernel = self.param("kernel", nn.initializers.glorot_uniform(), (C, 4 * H))
+        rec_kernel = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                                (H, 4 * H))
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            # Keras unit_forget_bias: zeros except forget-gate slice = 1.
+            b = jnp.zeros(shape, dtype)
+            return b.at[H: 2 * H].set(1.0)
+
+        bias = self.param("bias", bias_init, (4 * H,))
+
+        # Hoist the input projection out of the recurrence: one big GEMM.
+        gates_x = jnp.einsum("btc,ch->bth", x, kernel) + bias     # (B, T, 4H)
+        if self.reverse:
+            gates_x = jnp.flip(gates_x, axis=1)
+        gates_x = jnp.swapaxes(gates_x, 0, 1)                     # (T, B, 4H)
+
+        def step(carry, gx):
+            h, c = carry
+            z = gx + h @ rec_kernel                                # (B, 4H)
+            i = jax.nn.sigmoid(z[:, :H])
+            f = jax.nn.sigmoid(z[:, H: 2 * H])
+            g = jnp.tanh(z[:, 2 * H: 3 * H])
+            o = jax.nn.sigmoid(z[:, 3 * H:])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), None
+
+        init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        (h_last, _), _ = jax.lax.scan(step, init, gates_x)
+        return h_last
+
+
+class BiLSTM(nn.Module):
+    """Keras ``Bidirectional(LSTM(units))`` with merge_mode='concat':
+    forward last state ++ backward last state -> ``(B, 2 * units)``."""
+
+    units: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = LSTM(self.units, reverse=False, name="forward")(x)
+        bwd = LSTM(self.units, reverse=True, name="backward")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)

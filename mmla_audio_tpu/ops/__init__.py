@@ -1,0 +1,3 @@
+from mmla_audio_tpu.ops import features, mfcc, spectral
+
+__all__ = ["features", "mfcc", "spectral"]

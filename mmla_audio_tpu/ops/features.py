@@ -1,0 +1,116 @@
+"""End-to-end window featurizers: the model-facing tensors.
+
+Overlap detection (`overlap_features_generator.py:133-151` +
+`record_on_pc.py:156-158`): 1.5 s of audio -> (128, 151, 3) "ZCR-enhanced
+image" where R = per-frame ZCR broadcast down the mel axis and G = B =
+1 - minmax(log-mel).  The reference saves this through ``plt.imsave``
+(uint8 PNG, origin="lower" => mel axis flipped) and re-reads it with
+``decode_png`` as 0..255 float32.  We reproduce that quantization on device —
+``floor(clip(x, 0, 1) * 255)`` (matplotlib truncates, verified empirically) —
+so labels match bit-for-bit without touching disk.
+
+Speaker ID (`speaker_identification.py:372-398`): 2.56 s (VAD-trimmed) ->
+(256, 39) MFCC+delta+delta-delta, zero-padded rows.
+
+Both are pure fixed-shape functions of ``(audio_buffer, n_valid_samples)`` and
+jit/vmap/shard_map cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapFeatureConfig, SpeakerFeatureConfig
+from mmla_audio_tpu.ops import mfcc as _mfcc
+from mmla_audio_tpu.ops.spectral import (
+    melspectrogram_power,
+    minmax_normalize,
+    power_to_db,
+    zero_crossing_rate,
+)
+
+__all__ = [
+    "quantize_png_u8",
+    "overlap_image",
+    "overlap_model_input",
+    "speaker_feature",
+]
+
+
+def quantize_png_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """matplotlib ``imsave`` float->uint8: truncate ``clip(x, 0, 1) * 255``.
+
+    Returned as float32 0..255 because the reference feeds ``decode_png``
+    output to the model without rescaling (`record_on_pc.py:156-158`).
+    """
+    return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0)
+
+
+def overlap_image(y: jnp.ndarray, cfg: OverlapFeatureConfig = OverlapFeatureConfig()
+                  ) -> jnp.ndarray:
+    """ZCR-enhanced image of ``y (..., >=24000)`` -> ``(..., 128, 151, 3)``.
+
+    ``y`` is float audio in [-1, 1] (librosa.load convention).  Audio is
+    truncated/zero-padded to ``cfg.n_samples`` exactly as
+    `overlap_features_generator.py:73-80`.
+    """
+    n = cfg.n_samples
+    if y.shape[-1] < n:
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, n - y.shape[-1])]
+        y = jnp.pad(y, pad)
+    y = y[..., :n]
+
+    batch_axes = tuple(range(-2, 0))  # per-spectrogram reduction axes
+    mel = melspectrogram_power(y, cfg.sample_rate, cfg.win_length,
+                               cfg.hop_length, cfg.n_mels,
+                               cfg.fmin, cfg.fmax)               # (..., M, T)
+    s_db = power_to_db(mel, ref="max", reduce_axes=batch_axes)
+    s_norm = minmax_normalize(s_db, reduce_axes=batch_axes)
+
+    zcr = zero_crossing_rate(y, cfg.win_length, cfg.hop_length)  # (..., T)
+    r = jnp.broadcast_to(zcr[..., None, :], s_norm.shape)
+    gb = 1.0 - s_norm
+    img = jnp.stack([r, gb, gb], axis=-1)                        # (..., M, T, 3)
+    return img
+
+
+def overlap_model_input(y: jnp.ndarray,
+                        cfg: OverlapFeatureConfig = OverlapFeatureConfig()
+                        ) -> jnp.ndarray:
+    """What the deployed model actually sees: the PNG-round-tripped image.
+
+    0..255 float32 with the mel axis flipped (``origin='lower'``), matching
+    ``decode_png(imsave(img))`` byte-for-byte (`record_on_pc.py:139,156-158`).
+    """
+    img = overlap_image(y, cfg)
+    if cfg.flip_mel_axis:
+        img = jnp.flip(img, axis=-3)
+    if cfg.png_quantize:
+        img = quantize_png_u8(img)
+    return img
+
+
+def speaker_feature(buf: jnp.ndarray, n_samples: jnp.ndarray,
+                    cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One speaker-ID window: ``(max_samples,)`` + valid count ->
+    ``((256, 39), valid_frames)``.  int16-scale sample values expected."""
+    return _mfcc.mfcc39_windowed(
+        buf, n_samples,
+        max_frames=cfg.max_frames, delta_n=cfg.delta_n,
+        win_length=cfg.win_length, hop_length=cfg.hop_length,
+        sample_rate=cfg.sample_rate, n_fft=cfg.n_fft, n_filt=cfg.n_filt,
+        n_cep=cfg.n_cep, preemph=cfg.preemph, ceplifter=cfg.ceplifter,
+        append_energy=cfg.append_energy)
+
+
+def speaker_feature_batch(bufs: jnp.ndarray, n_samples: jnp.ndarray,
+                          cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped ``speaker_feature``: ``(B, max_samples), (B,)`` ->
+    ``((B, 256, 39), (B,))``."""
+    return jax.vmap(functools.partial(speaker_feature, cfg=cfg))(
+        bufs, jnp.asarray(n_samples, jnp.int32))

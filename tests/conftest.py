@@ -1,0 +1,40 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip hardware is not available in CI; sharding/collective tests run on
+``--xla_force_host_platform_device_count=8`` exactly as the driver's
+``dryrun_multichip`` does.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
+
+
+def synth_speech(n_samples, sr=16000, seed=0, n_tones=4, amp=0.3):
+    """Deterministic speech-like PCM: a sum of drifting tones + noise bursts."""
+    r = np.random.RandomState(seed)
+    t = np.arange(n_samples) / sr
+    y = np.zeros(n_samples)
+    for _ in range(n_tones):
+        f0 = r.uniform(80, 2000)
+        drift = r.uniform(-30, 30)
+        y += r.uniform(0.2, 1.0) * np.sin(2 * np.pi * (f0 + drift * t) * t + r.uniform(0, 6.28))
+    y += 0.05 * r.randn(n_samples)
+    y *= amp / np.max(np.abs(y))
+    return y.astype(np.float32)
+
+
+def synth_speech_i16(n_samples, sr=16000, seed=0):
+    return (synth_speech(n_samples, sr, seed) * 20000).astype(np.int16)

@@ -1,0 +1,154 @@
+"""NumPy golden implementations with librosa 0.8 semantics.
+
+librosa is not installable in this environment, so these functions restate the
+library's documented algorithms (STFT with centered reflect padding + periodic
+Hann, Slaney mel filterbank, power_to_db with top_db, edge-padded
+zero-crossing rate) directly from the published definitions, using ``np.fft``
+and explicit loops.  They deliberately share no code with
+``mmla_audio_tpu.ops`` (which uses DFT-as-GEMM and vectorized masking) so the
+unit tests cross-check two independent derivations.
+"""
+
+import numpy as np
+
+
+def hann_periodic(n):
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def frame(y, frame_length, hop_length):
+    n_frames = 1 + (len(y) - frame_length) // hop_length
+    out = np.empty((frame_length, n_frames), dtype=y.dtype)
+    for t in range(n_frames):
+        out[:, t] = y[t * hop_length: t * hop_length + frame_length]
+    return out
+
+
+def stft(y, n_fft, hop_length, center=True, pad_mode="reflect"):
+    """Complex STFT, librosa.stft semantics (win_length == n_fft)."""
+    window = hann_periodic(n_fft)
+    if center:
+        y = np.pad(y, n_fft // 2, mode=pad_mode)
+    frames = frame(y, n_fft, hop_length)                 # (n_fft, T)
+    return np.fft.rfft(frames * window[:, None], n=n_fft, axis=0)
+
+
+def hz_to_mel(frequencies, htk=False):
+    frequencies = np.asarray(frequencies, dtype=float)
+    if htk:
+        return 2595.0 * np.log10(1.0 + frequencies / 700.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (frequencies - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    if frequencies.ndim:
+        log_t = frequencies >= min_log_hz
+        mels[log_t] = min_log_mel + np.log(frequencies[log_t] / min_log_hz) / logstep
+    elif frequencies >= min_log_hz:
+        mels = min_log_mel + np.log(frequencies / min_log_hz) / logstep
+    return mels
+
+
+def mel_to_hz(mels, htk=False):
+    mels = np.asarray(mels, dtype=float)
+    if htk:
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    if mels.ndim:
+        log_t = mels >= min_log_mel
+        freqs[log_t] = min_log_hz * np.exp(logstep * (mels[log_t] - min_log_mel))
+    elif mels >= min_log_mel:
+        freqs = min_log_hz * np.exp(logstep * (mels - min_log_mel))
+    return freqs
+
+
+def mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=None, htk=False, norm="slaney"):
+    """librosa.filters.mel."""
+    if fmax is None:
+        fmax = float(sr) / 2
+    weights = np.zeros((n_mels, 1 + n_fft // 2))
+    fftfreqs = np.linspace(0, float(sr) / 2, 1 + n_fft // 2)
+    min_mel, max_mel = hz_to_mel(fmin, htk), hz_to_mel(fmax, htk)
+    mel_f = mel_to_hz(np.linspace(min_mel, max_mel, n_mels + 2), htk)
+    fdiff = np.diff(mel_f)
+    ramps = np.subtract.outer(mel_f, fftfreqs)
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+    if norm == "slaney":
+        enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+        weights *= enorm[:, np.newaxis]
+    return weights
+
+
+def melspectrogram(y, sr, n_fft, hop_length, n_mels, fmin=0.0, fmax=None):
+    S = np.abs(stft(y, n_fft, hop_length)) ** 2
+    return mel_filterbank(sr, n_fft, n_mels, fmin, fmax) @ S
+
+
+def power_to_db(S, ref=np.max, amin=1e-10, top_db=80.0):
+    magnitude = np.asarray(S, dtype=float)
+    ref_value = np.abs(ref(magnitude)) if callable(ref) else np.abs(ref)
+    log_spec = 10.0 * np.log10(np.maximum(amin, magnitude))
+    log_spec -= 10.0 * np.log10(np.maximum(amin, ref_value))
+    if top_db is not None:
+        log_spec = np.maximum(log_spec, log_spec.max() - top_db)
+    return log_spec
+
+
+def zero_crossings(y, threshold=1e-10, zero_pos=True, axis=-1):
+    if threshold > 0:
+        y = y.copy()
+        y[np.abs(y) <= threshold] = 0
+    y_sign = np.signbit(y) if zero_pos else np.sign(y)
+    slice_pre = [slice(None)] * y.ndim
+    slice_post = [slice(None)] * y.ndim
+    slice_pre[axis] = slice(1, None)
+    slice_post[axis] = slice(None, -1)
+    return y_sign[tuple(slice_pre)] != y_sign[tuple(slice_post)]
+
+
+def zero_crossing_rate(y, frame_length, hop_length, center=True):
+    """librosa.feature.zero_crossing_rate (kwargs defaults: pad=False)."""
+    if center:
+        y = np.pad(y, frame_length // 2, mode="edge")
+    y_framed = frame(y, frame_length, hop_length)        # (frame_length, T)
+    crossings = zero_crossings(y_framed, axis=0)
+    return np.mean(crossings, axis=0, keepdims=True)
+
+
+def normalize_matrix(m):
+    """overlap_features_generator.py:103-117 (vectorized; same arithmetic)."""
+    return (m - np.min(m)) / (np.max(m) - np.min(m))
+
+
+def overlap_image(y, sr=16000, win_length=400, hop_length=160, n_mels=128,
+                  time_dim=150):
+    """generate_zcr_image semantics end-to-end on a float waveform."""
+    n = hop_length * time_dim
+    if len(y) < n:
+        y = np.pad(y, (0, n - len(y)))
+    y = y[:n]
+    s = melspectrogram(y, sr, win_length, hop_length, n_mels)
+    s_db = power_to_db(s, ref=np.max)
+    s_norm = normalize_matrix(s_db)
+    arr_zcr = zero_crossing_rate(y, win_length, hop_length)
+    img = np.empty((s_norm.shape[0], s_norm.shape[1], 3))
+    for i in range(s_norm.shape[0]):
+        for j in range(s_norm.shape[1]):
+            img[i][j][0] = arr_zcr[0][j]
+            img[i][j][1] = 1 - s_norm[i][j]
+            img[i][j][2] = 1 - s_norm[i][j]
+    return img
+
+
+def png_roundtrip_model_input(img):
+    """plt.imsave(origin='lower') + decode_png + float32 cast
+    (record_on_pc.py:139,156-158): truncate to uint8, flip rows."""
+    return np.flipud((np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)).astype(np.float32)

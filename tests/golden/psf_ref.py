@@ -1,0 +1,126 @@
+"""NumPy golden for python_speech_features MFCCs + the reference's delta.
+
+python_speech_features is not installable here; this restates its published
+algorithm (sigproc.framesig with zero-padding and a rectangular window,
+powspec = |rfft|^2 / NFFT, 26 HTK-mel filters, log, DCT-II ortho, ceplifter
+22, c0 <- log total energy, preemphasis 0.97) with np.fft and loops, plus the
+reference's hand-rolled delta (`speaker_identification.py:141-151`).
+Independent of mmla_audio_tpu.ops.mfcc (which is GEMM-based).
+"""
+
+import math
+
+import numpy as np
+
+
+def preemphasis(signal, coeff=0.97):
+    return np.append(signal[0], signal[1:] - coeff * signal[:-1])
+
+
+def framesig(sig, frame_len, frame_step):
+    slen = len(sig)
+    frame_len = int(round(frame_len))
+    frame_step = int(round(frame_step))
+    if slen <= frame_len:
+        numframes = 1
+    else:
+        numframes = 1 + int(math.ceil((1.0 * slen - frame_len) / frame_step))
+    padlen = int((numframes - 1) * frame_step + frame_len)
+    padsignal = np.concatenate((sig, np.zeros(padlen - slen)))
+    indices = (np.tile(np.arange(0, frame_len), (numframes, 1))
+               + np.tile(np.arange(0, numframes * frame_step, frame_step),
+                         (frame_len, 1)).T)
+    return padsignal[indices.astype(np.int32)]
+
+
+def powspec(frames, NFFT):
+    complex_spec = np.fft.rfft(frames, NFFT)
+    return 1.0 / NFFT * np.square(np.abs(complex_spec))
+
+
+def hz2mel(hz):
+    return 2595 * np.log10(1 + hz / 700.0)
+
+
+def mel2hz(mel):
+    return 700 * (10 ** (mel / 2595.0) - 1)
+
+
+def get_filterbanks(nfilt=26, nfft=512, samplerate=16000, lowfreq=0, highfreq=None):
+    highfreq = highfreq or samplerate / 2
+    lowmel = hz2mel(lowfreq)
+    highmel = hz2mel(highfreq)
+    melpoints = np.linspace(lowmel, highmel, nfilt + 2)
+    bin = np.floor((nfft + 1) * mel2hz(melpoints) / samplerate)
+    fbank = np.zeros([nfilt, nfft // 2 + 1])
+    for j in range(0, nfilt):
+        for i in range(int(bin[j]), int(bin[j + 1])):
+            fbank[j, i] = (i - bin[j]) / (bin[j + 1] - bin[j])
+        for i in range(int(bin[j + 1]), int(bin[j + 2])):
+            fbank[j, i] = (bin[j + 2] - i) / (bin[j + 2] - bin[j + 1])
+    return fbank
+
+
+def dct2_ortho(x, n_out):
+    """scipy.fftpack.dct(type=2, norm='ortho') truncated to n_out coeffs."""
+    N = x.shape[1]
+    out = np.zeros((x.shape[0], n_out))
+    for k in range(n_out):
+        s = np.sqrt(1.0 / (4.0 * N)) if k == 0 else np.sqrt(1.0 / (2.0 * N))
+        out[:, k] = 2.0 * s * np.sum(
+            x * np.cos(np.pi * k * (2 * np.arange(N) + 1) / (2.0 * N)), axis=1)
+    return out
+
+
+def lifter(cepstra, L=22):
+    if L <= 0:
+        return cepstra
+    nframes, ncoeff = np.shape(cepstra)
+    n = np.arange(ncoeff)
+    lift = 1 + (L / 2.0) * np.sin(np.pi * n / L)
+    return lift * cepstra
+
+
+def mfcc(signal, samplerate=16000, winlen=0.025, winstep=0.01, numcep=13,
+         nfilt=26, nfft=512, lowfreq=0, highfreq=None, preemph=0.97,
+         ceplifter=22, appendEnergy=True):
+    signal = preemphasis(signal, preemph)
+    frames = framesig(signal, winlen * samplerate, winstep * samplerate)
+    pspec = powspec(frames, nfft)
+    energy = np.sum(pspec, 1)
+    energy = np.where(energy == 0, np.finfo(float).eps, energy)
+    fb = get_filterbanks(nfilt, nfft, samplerate, lowfreq, highfreq)
+    feat = np.dot(pspec, fb.T)
+    feat = np.where(feat == 0, np.finfo(float).eps, feat)
+    feat = np.log(feat)
+    feat = dct2_ortho(feat, numcep)
+    feat = lifter(feat, ceplifter)
+    if appendEnergy:
+        feat[:, 0] = np.log(energy)
+    return feat
+
+
+def delta(feat, N):
+    """Reference's hand-rolled delta, speaker_identification.py:141-151."""
+    NUMFRAMES = len(feat)
+    denominator = 2 * sum([i ** 2 for i in range(1, N + 1)])
+    delta_feat = np.empty_like(feat)
+    padded = np.pad(feat, ((N, N), (0, 0)), mode="edge")
+    for t in range(NUMFRAMES):
+        delta_feat[t] = np.dot(np.arange(-N, N + 1), padded[t: t + 2 * N + 1]) / denominator
+    return delta_feat
+
+
+def input_feature(sig, max_frames=256):
+    """input_feature_gen core (speaker_identification.py:372-398), minus the
+    silent gate: MFCC+d+dd of the raw int16 signal, rows padded/truncated."""
+    m = mfcc(sig)
+    d = delta(m, 2)
+    dd = delta(d, 2)
+    feat = np.concatenate((m, d, dd), axis=1)
+    length = feat.shape[0]
+    if length < max_frames:
+        feat = np.concatenate((feat, np.zeros((max_frames - length, 39))), axis=0)
+    else:
+        feat = feat[:max_frames, :]
+    return feat

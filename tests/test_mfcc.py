@@ -1,0 +1,105 @@
+"""MFCC/delta kernels vs the python_speech_features golden."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import synth_speech_i16
+from tests.golden import psf_ref as gold
+
+from mmla_audio_tpu.core.config import SpeakerFeatureConfig
+from mmla_audio_tpu.ops import mfcc as M
+from mmla_audio_tpu.ops.features import speaker_feature, speaker_feature_batch
+
+
+def test_psf_filterbank_matches():
+    ours = M._psf_filterbank(26, 512, 16000)
+    ref = gold.get_filterbanks(26, 512, 16000)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_mfcc13_matches_golden():
+    sig = synth_speech_i16(40960, seed=1).astype(np.float64)
+    ours = np.asarray(M.mfcc13(jnp.asarray(sig, jnp.float32)))
+    ref = gold.mfcc(sig)
+    assert ours.shape == ref.shape == (255, 13)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_mfcc13_short_signal_one_frame():
+    sig = synth_speech_i16(300, seed=2).astype(np.float64)
+    ours = np.asarray(M.mfcc13(jnp.asarray(sig, jnp.float32)))
+    ref = gold.mfcc(sig)
+    assert ours.shape == ref.shape == (1, 13)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_delta_matches_reference_impl():
+    feat = np.random.RandomState(0).randn(100, 13).astype(np.float32)
+    ours = np.asarray(M.delta(jnp.asarray(feat), 2))
+    ref = gold.delta(feat.astype(np.float64), 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mfcc39_matches_input_feature_gen():
+    """Full parity with input_feature_gen on an un-trimmed 2.56 s window."""
+    sig = synth_speech_i16(40960, seed=3).astype(np.float64)
+    ref = gold.input_feature(sig)
+    ours = np.asarray(M.mfcc39(jnp.asarray(sig, jnp.float32)))
+    padded = np.concatenate([ours, np.zeros((256 - ours.shape[0], 39))], axis=0)
+    np.testing.assert_allclose(padded, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_windowed_matches_variable_length():
+    """The fixed-shape masked path must equal the golden computed on the
+    dynamically-sized (VAD-trimmed) signal, for several lengths."""
+    max_samples = 40960
+    for n in [4001, 8192, 20000, 30001, 40960]:
+        sig = synth_speech_i16(n, seed=n).astype(np.float64)
+        buf = np.zeros(max_samples, np.float32)
+        buf[:n] = sig
+        feat, valid = speaker_feature(jnp.asarray(buf), jnp.asarray(n))
+        ref = gold.input_feature(sig)
+        nf = gold.mfcc(sig).shape[0]
+        assert int(valid) == min(nf, 256)
+        np.testing.assert_allclose(np.asarray(feat), ref, rtol=1e-3, atol=2e-3,
+                                   err_msg=f"n={n}")
+
+
+def test_windowed_batch_matches_single():
+    max_samples = 40960
+    lens = [5000, 15000, 40960]
+    bufs, counts = [], []
+    for i, n in enumerate(lens):
+        b = np.zeros(max_samples, np.float32)
+        b[:n] = synth_speech_i16(n, seed=10 + i)
+        bufs.append(b)
+        counts.append(n)
+    bufs = jnp.asarray(np.stack(bufs))
+    feats, valids = speaker_feature_batch(bufs, jnp.asarray(counts))
+    for i in range(len(lens)):
+        f1, v1 = speaker_feature(bufs[i], jnp.asarray(counts[i]))
+        np.testing.assert_allclose(np.asarray(feats[i]), np.asarray(f1),
+                                   rtol=1e-5, atol=1e-5)
+        assert int(valids[i]) == int(v1)
+
+
+def test_windowed_is_jittable():
+    fn = jax.jit(speaker_feature)
+    buf = jnp.zeros(40960, jnp.float32).at[:5000].set(1000.0)
+    feat, valid = fn(buf, jnp.asarray(5000))
+    assert feat.shape == (256, 39)
+
+
+def test_num_valid_frames_matches_psf():
+    import math
+    for n in [100, 400, 401, 560, 561, 4000, 40960]:
+        expect = 1 if n <= 400 else 1 + math.ceil((n - 400) / 160)
+        got = int(M.num_valid_frames(jnp.asarray(n)))
+        assert got == expect, (n, got, expect)
+
+
+def test_config_geometry():
+    cfg = SpeakerFeatureConfig()
+    assert cfg.win_length == 400 and cfg.hop_length == 160
+    assert cfg.feature_shape == (256, 39)

@@ -1,0 +1,128 @@
+"""DSP kernels vs independent NumPy goldens (librosa 0.8 semantics)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import synth_speech
+from tests.golden import librosa_ref as gold
+
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapFeatureConfig
+from mmla_audio_tpu.ops import spectral
+from mmla_audio_tpu.ops.features import overlap_image, overlap_model_input, quantize_png_u8
+
+SR, NFFT, HOP = 16000, 400, 160
+
+
+def test_hann_matches():
+    np.testing.assert_allclose(spectral.hann_periodic(400),
+                               gold.hann_periodic(400), atol=1e-6)
+
+
+def test_stft_power_matches_fft():
+    y = synth_speech(24000)
+    ours = np.asarray(spectral.stft_power(jnp.asarray(y), NFFT, HOP))
+    ref = np.abs(gold.stft(y.astype(np.float64), NFFT, HOP)) ** 2
+    assert ours.shape == ref.shape == (201, 151)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4 * ref.max())
+
+
+def test_stft_analytic_sine():
+    # a pure 1 kHz sine must concentrate power at bin round(1000/16000*400)=25
+    t = np.arange(24000) / SR
+    y = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    p = np.asarray(spectral.stft_power(jnp.asarray(y), NFFT, HOP))
+    assert np.all(np.argmax(p[:, 5:-5], axis=0) == 25)
+
+
+def test_mel_filterbank_matches_librosa():
+    ours = spectral.mel_filterbank(SR, NFFT, 128)
+    ref = gold.mel_filterbank(SR, NFFT, 128)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_melspectrogram_matches():
+    y = synth_speech(24000, seed=3)
+    ours = np.asarray(spectral.melspectrogram_power(jnp.asarray(y), SR, NFFT, HOP, 128))
+    ref = gold.melspectrogram(y.astype(np.float64), SR, NFFT, HOP, 128)
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=1e-5 * ref.max())
+
+
+def test_power_to_db_matches():
+    y = synth_speech(24000, seed=4)
+    S = gold.melspectrogram(y.astype(np.float64), SR, NFFT, HOP, 128)
+    ours = np.asarray(spectral.power_to_db(jnp.asarray(S)))
+    ref = gold.power_to_db(S)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)  # f32 log10 rounding
+
+
+def test_zcr_matches():
+    y = synth_speech(24000, seed=5)
+    ours = np.asarray(spectral.zero_crossing_rate(jnp.asarray(y), NFFT, HOP))
+    ref = gold.zero_crossing_rate(y, NFFT, HOP)[0]
+    assert ours.shape == (151,)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_zcr_handles_exact_zeros():
+    y = np.zeros(24000, dtype=np.float32)
+    y[::2] = 0.5
+    y[1::2] = -0.5
+    ours = np.asarray(spectral.zero_crossing_rate(jnp.asarray(y), NFFT, HOP))
+    ref = gold.zero_crossing_rate(y, NFFT, HOP)[0]
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_overlap_image_matches_golden():
+    y = synth_speech(24000, seed=6)
+    ours = np.asarray(overlap_image(jnp.asarray(y)))
+    ref = gold.overlap_image(y.astype(np.float64))
+    assert ours.shape == ref.shape == (128, 151, 3)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_overlap_image_short_audio_padded():
+    y = synth_speech(10000, seed=7)
+    ours = np.asarray(overlap_image(jnp.asarray(y)))
+    ref = gold.overlap_image(y.astype(np.float64))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_model_input_png_parity():
+    """The model-facing tensor must match the uint8 PNG round-trip exactly."""
+    y = synth_speech(24000, seed=8)
+    ours = np.asarray(overlap_model_input(jnp.asarray(y)))
+    ref = gold.png_roundtrip_model_input(gold.overlap_image(y.astype(np.float64)))
+    assert ours.shape == (128, 151, 3)
+    assert ours.dtype == np.float32
+    # allow <=1 quantization-step disagreement only where float rounding sits
+    # exactly on a bin edge
+    diff = np.abs(ours - ref)
+    assert (diff <= 1.0).all()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_model_input_batched():
+    # Batched and single programs compile to different fusions; float results
+    # may differ in the last ulp, so quantized values may differ by one step.
+    ys = np.stack([synth_speech(24000, seed=s) for s in range(4)])
+    batched = np.asarray(overlap_model_input(jnp.asarray(ys)))
+    single = np.stack([np.asarray(overlap_model_input(jnp.asarray(y))) for y in ys])
+    diff = np.abs(batched - single)
+    assert (diff <= 1.0).all()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_quantize_matches_matplotlib_rule():
+    x = jnp.asarray(np.linspace(-0.1, 1.1, 1000, dtype=np.float32))
+    q = np.asarray(quantize_png_u8(x))
+    ref = (np.clip(np.linspace(-0.1, 1.1, 1000, dtype=np.float32), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(q, ref.astype(np.float32))
+
+
+def test_config_geometry():
+    cfg = OverlapFeatureConfig()
+    assert cfg.win_length == 400 and cfg.hop_length == 160
+    assert cfg.n_samples == 24000 and cfg.n_frames == 151
+    assert cfg.image_shape == (128, 151, 3)

@@ -1,0 +1,79 @@
+"""Overlap detector: ResNet-CNN -> mel-mean -> BiLSTM -> softmax.
+
+Architecture parity with the reference `__ResBLSTM`
+(`OverlapDetection/scripts/overlap_detector.py:362-390` with `res_block`
+:227-256): Conv2D(16, k1) stem; 3 stages x 3 residual blocks (32/64/128
+filters; the first block of each stage downsamples by 2 via a strided 1x1
+projection on the shortcut and a MaxPool on the main path; inner convs are
+k3 then k(4,1); pre-activation BN+ELU); mean over the 128-mel axis;
+Bidirectional LSTM(256); Dropout 0.25; LeakyReLU; Dense softmax.
+
+Input is the PNG-round-tripped feature image: (B, 128, 151, 3) float32 in
+0..255 (`record_on_pc.py:156-159`).  Geometry: 128x151 -> 64x76 -> 32x38 ->
+16x19 -> mel-mean -> (B, 19, 128) -> BiLSTM -> (B, 512).
+
+Returns logits; apply ``jax.nn.softmax`` (or use the Keras-CCE losses in
+``train.losses``, which replicate the reference's probability-space loss).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapModelConfig
+from mmla_audio_tpu.models.layers import BiLSTM, KerasBatchNorm, leaky_relu
+
+__all__ = ["OverlapResBLSTM"]
+
+
+class ResBlock2D(nn.Module):
+    """Pre-activation residual block (overlap_detector.py:227-256)."""
+
+    filters: int
+    pool: bool = False
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        if self.pool:
+            res = nn.Conv(self.filters, (1, 1), strides=(2, 2), padding="SAME",
+                          name="shortcut")(res)
+        out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(x, train)
+        out = nn.elu(out)
+        out = nn.Conv(self.filters, (3, 3), padding="SAME")(out)
+        out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(out, train)
+        out = nn.elu(out)
+        out = nn.Conv(self.filters, (4, 1), padding="SAME")(out)
+        if self.pool:
+            out = nn.max_pool(out, (2, 2), strides=(2, 2), padding="SAME")
+        return res + out
+
+
+class OverlapResBLSTM(nn.Module):
+    cfg: OverlapModelConfig = OverlapModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, rngs_dropout: bool = False):
+        cfg = self.cfg
+        net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME", name="stem")(x)
+        for stage, f in enumerate(cfg.stage_filters):
+            for block in range(cfg.blocks_per_stage):
+                net = ResBlock2D(f, pool=(block == 0),
+                                 bn_momentum=cfg.bn_momentum,
+                                 bn_eps=cfg.bn_eps,
+                                 name=f"stage{stage}_block{block}")(net, train)
+        net = jnp.mean(net, axis=1)                    # mel-axis mean -> (B, T, C)
+        net = BiLSTM(cfg.lstm_units)(net)              # (B, 512)
+        net = nn.Dropout(cfg.dropout, deterministic=not train)(net)
+        net = leaky_relu(net)
+        logits = nn.Dense(cfg.num_classes, name="head")(net)
+        return logits
+
+    def init_variables(self, rng, batch: int = 1,
+                       input_shape=(128, 151, 3)):
+        dummy = jnp.zeros((batch,) + tuple(input_shape), jnp.float32)
+        return self.init({"params": rng}, dummy)

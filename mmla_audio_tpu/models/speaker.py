@@ -1,0 +1,125 @@
+"""Speaker identifier: 1D ResNet -> AvgPool -> BiLSTM -> Dense(630).
+
+Architecture parity with the reference `res_model`
+(`SpeakerIdentification/scripts/speaker_identification.py:168-218`):
+Conv1D(32, k4) stem; 3 stages x 3 `res_unit` (32/64/128; the first unit of a
+stage MaxPools the main path and projects the shortcut with a strided 1x1;
+deeper stages add l2 0.1/0.2 on inner convs); BN+ReLU+Dropout 0.25;
+AveragePooling1D(4, valid); BiLSTM(256); Dropout 0.2; Dense(630, softmax).
+
+Geometry: (B, 256, 39) -> 128 -> 64 -> 32 frames -> AvgPool(4) -> (B, 8, 128)
+-> BiLSTM -> (B, 512) -> logits(630).
+
+The model is split into ``trunk`` + ``head`` so registration transfer-learning
+(`speaker_identification.py:401-477`: slice at layers[-2], freeze, new
+Dense(n_speakers, sigmoid)) maps to: reuse trunk params frozen, fresh head.
+
+L2 regularization is part of the *loss* in Keras; ``l2_penalty`` computes the
+same penalty from the param tree (coefficients recorded per conv path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import SpeakerModelConfig
+
+from mmla_audio_tpu.models.layers import BiLSTM, KerasBatchNorm
+
+__all__ = ["SpeakerTrunk", "SpeakerResBLSTM", "l2_penalty"]
+
+
+class ResUnit1D(nn.Module):
+    """res_unit (speaker_identification.py:168-190).  Note the asymmetry vs
+    the 2D block: when pooling, the *main path input* is MaxPooled before BN
+    and the shortcut is a strided 1x1 of the original input."""
+
+    filters: int
+    pool: bool = False
+    l2: float = 0.0
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        if self.pool:
+            x = nn.max_pool(x, (2,), strides=(2,), padding="SAME")
+            res = nn.Conv(self.filters, (1,), strides=(2,), padding="SAME",
+                          name="shortcut")(res)
+        out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(x, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters, (3,), padding="SAME", name="conv_a")(out)
+        out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters, (3,), padding="SAME", name="conv_b")(out)
+        return res + out
+
+
+class SpeakerTrunk(nn.Module):
+    """Everything up to (and including) the post-BiLSTM dropout — the
+    ``layers[-2]`` slice point of the reference transfer learner."""
+
+    cfg: SpeakerModelConfig = SpeakerModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        net = nn.Conv(cfg.stem_filters, (cfg.stem_kernel,), padding="SAME",
+                      name="stem")(x)
+        for stage, (f, l2c) in enumerate(zip(cfg.stage_filters, cfg.stage_l2)):
+            for block in range(cfg.blocks_per_stage):
+                reg = l2c if block > 0 else 0.0   # first (pooled) unit unregularized
+                net = ResUnit1D(f, pool=(block == 0), l2=reg,
+                                bn_momentum=cfg.bn_momentum, bn_eps=cfg.bn_eps,
+                                name=f"stage{stage}_unit{block}")(net, train)
+        net = KerasBatchNorm(cfg.bn_momentum, cfg.bn_eps)(net, train)
+        net = nn.relu(net)
+        net = nn.Dropout(cfg.dropout_trunk, deterministic=not train)(net)
+        # Keras AveragePooling1D(4): valid padding, stride = pool size.
+        net = nn.avg_pool(net, (cfg.avg_pool,), strides=(cfg.avg_pool,),
+                          padding="VALID")
+        net = BiLSTM(cfg.lstm_units)(net)                       # (B, 512)
+        net = nn.Dropout(cfg.dropout_head, deterministic=not train)(net)
+        return net
+
+
+class SpeakerResBLSTM(nn.Module):
+    """Trunk + Dense head.  ``head_units=None`` -> cfg.num_speakers (TIMIT
+    630, softmax in loss); transfer-learned models use a fresh smaller head
+    with sigmoid activation applied by the caller/loss."""
+
+    cfg: SpeakerModelConfig = SpeakerModelConfig()
+    head_units: int | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        units = self.head_units or self.cfg.num_speakers
+        net = SpeakerTrunk(self.cfg, name="trunk")(x, train)
+        return nn.Dense(units, name="head")(net)
+
+    def init_variables(self, rng, batch: int = 1, input_shape=(256, 39)):
+        dummy = jnp.zeros((batch,) + tuple(input_shape), jnp.float32)
+        return self.init({"params": rng}, dummy)
+
+
+def l2_penalty(params: Dict[str, Any], cfg: SpeakerModelConfig = SpeakerModelConfig()
+               ) -> jnp.ndarray:
+    """Keras kernel_regularizer l2 penalty: sum over the regularized convs of
+    ``coeff * sum(kernel**2)`` (speaker_identification.py:176-187: inner convs
+    of non-pooled units in stages 1/2, coeffs 0.1/0.2)."""
+    total = jnp.asarray(0.0, jnp.float32)
+    trunk = params.get("trunk", params)
+    for stage, l2c in enumerate(cfg.stage_l2):
+        if l2c <= 0:
+            continue
+        for block in range(1, cfg.blocks_per_stage):
+            unit = trunk[f"stage{stage}_unit{block}"]
+            for conv in ("conv_a", "conv_b"):
+                k = unit[conv]["kernel"]
+                total = total + l2c * jnp.sum(jnp.square(k))
+    return total

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon sitecustomize hook re-registers a TPU backend and overrides
+# JAX_PLATFORMS; force it back so tests compile on local CPU (the remote
+# TPU compile tunnel takes ~30 s per jit and would dominate the suite).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,149 @@
+"""Model architecture tests: shapes, determinism, LSTM-math golden."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapModelConfig, SpeakerModelConfig
+from mmla_audio_tpu.models import (
+    BiLSTM,
+    LSTM,
+    OverlapResBLSTM,
+    SpeakerResBLSTM,
+    l2_penalty,
+)
+
+
+def np_lstm_last(x, kernel, rec_kernel, bias, reverse=False):
+    """NumPy Keras-semantics LSTM (gate order i,f,c,o) returning last h."""
+    B, T, C = x.shape
+    H = rec_kernel.shape[0]
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    order = range(T - 1, -1, -1) if reverse else range(T)
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    for t in order:
+        z = x[:, t] @ kernel + h @ rec_kernel + bias
+        i = sig(z[:, :H])
+        f = sig(z[:, H:2 * H])
+        g = np.tanh(z[:, 2 * H:3 * H])
+        o = sig(z[:, 3 * H:])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+    return h
+
+
+def test_lstm_matches_numpy_golden():
+    B, T, C, H = 3, 11, 7, 5
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, C).astype(np.float32)
+    m = LSTM(H)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+    ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+    ref = np_lstm_last(x.astype(np.float64), np.asarray(p["kernel"]),
+                       np.asarray(p["recurrent_kernel"]), np.asarray(p["bias"]))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_reverse_matches_numpy_golden():
+    B, T, C, H = 2, 9, 4, 6
+    rng = np.random.RandomState(1)
+    x = rng.randn(B, T, C).astype(np.float32)
+    m = LSTM(H, reverse=True)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+    ours = np.asarray(m.apply(variables, jnp.asarray(x)))
+    ref = np_lstm_last(x.astype(np.float64), np.asarray(p["kernel"]),
+                       np.asarray(p["recurrent_kernel"]), np.asarray(p["bias"]),
+                       reverse=True)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_unit_forget_bias():
+    m = LSTM(4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 2)))
+    b = np.asarray(v["params"]["bias"])
+    np.testing.assert_array_equal(b[:4], 0)
+    np.testing.assert_array_equal(b[4:8], 1)
+    np.testing.assert_array_equal(b[8:], 0)
+
+
+def test_bilstm_shape():
+    m = BiLSTM(256)
+    x = jnp.zeros((2, 19, 128))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 512)
+
+
+def test_overlap_model_shapes():
+    model = OverlapResBLSTM(OverlapModelConfig(num_classes=2))
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 128, 151, 3) * 255,
+                    jnp.float32)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_overlap_model_layer_counts():
+    # The reference SavedModel metadata confirms 22 Conv2D + 18 BN layers:
+    # 1 stem + 9 blocks x 2 inner convs + 3 shortcuts = 22; 9 x 2 BN = 18.
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    n_convs = sum(1 for p, v in flat if v.ndim == 4 and "kernel" in str(p))
+    assert n_convs == 22, n_convs
+    n_bn = sum(1 for p, v in flat if "BatchNorm" in str(p) and "scale" in str(p))
+    assert n_bn == 18, n_bn
+
+
+def test_speaker_model_shapes():
+    model = SpeakerResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 256, 39), jnp.float32)
+    logits = model.apply(variables, x)
+    assert logits.shape == (3, 630)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_speaker_head_swap():
+    """Transfer-learning head: same trunk params, different head width."""
+    base = SpeakerResBLSTM()
+    variables = base.init_variables(jax.random.PRNGKey(0))
+    small = SpeakerResBLSTM(head_units=4)
+    v2 = small.init_variables(jax.random.PRNGKey(1))
+    # graft trunk params from base into small
+    import flax
+    p2 = flax.core.unfreeze(v2["params"]) if hasattr(flax.core, "unfreeze") else dict(v2["params"])
+    p2["trunk"] = variables["params"]["trunk"]
+    x = jnp.zeros((1, 256, 39))
+    out = small.apply({"params": p2, "batch_stats": variables["batch_stats"]}, x)
+    assert out.shape == (1, 4)
+
+
+def test_speaker_l2_penalty_positive_and_selective():
+    model = SpeakerResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pen = float(l2_penalty(variables["params"]))
+    assert pen > 0
+    # zero coefficients -> zero penalty
+    cfg0 = SpeakerModelConfig(stage_l2=(0.0, 0.0, 0.0))
+    assert float(l2_penalty(variables["params"], cfg0)) == 0.0
+
+
+def test_dropout_train_vs_eval():
+    model = SpeakerResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0), batch=2)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 256, 39), jnp.float32)
+    eval1 = model.apply(variables, x)
+    eval2 = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+    tr1 = model.apply(variables, x, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)},
+                      mutable=["batch_stats"])[0]
+    tr2 = model.apply(variables, x, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(2)},
+                      mutable=["batch_stats"])[0]
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))

@@ -1,0 +1,69 @@
+"""Session TSV logs, bit-compatible with the reference `/experiment/logs`.
+
+Schema (written on the first row):
+  overlap:  ``segment\toverlapped degree\ttimestamp``  (record_on_pc.py:146-152)
+  speaker:  ``segment\tspeaker\ttimestamp``            (SI record_on_pc.py:126-131)
+Rows: ``<index>\t<label>\t<str(datetime)>``.  Live loops start at segment 1
+and stamp ``datetime.today()`` per row; post-time loops start at 0 and add a
+fixed ``timedelta`` (1.5 s OD / 2.56 s SI) per segment
+(`overlap_detection_post_processing.py:211-226`).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from pathlib import Path
+from typing import Iterable, List, Tuple
+
+__all__ = ["SessionLog", "parse_log"]
+
+OVERLAP_HEADER = "segment\toverlapped degree\ttimestamp"
+SPEAKER_HEADER = "segment\tspeaker\ttimestamp"
+
+OVERLAP_LABELS = {"0": "non-overlapped", "1": "overlapped"}
+OVERLAP_LABELS_3WAY = {"0": "non-overlapped", "1": "overlapped", "2": "silent"}
+
+
+class SessionLog:
+    """Append-only TSV log; header emitted with the first row."""
+
+    def __init__(self, path, kind: str = "overlap", start_index: int = 1,
+                 overwrite: bool = False):
+        assert kind in ("overlap", "speaker")
+        self.path = Path(path)
+        self.header = OVERLAP_HEADER if kind == "overlap" else SPEAKER_HEADER
+        self.index = start_index
+        self._wrote_header = False
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        if overwrite and self.path.exists():
+            self.path.unlink()
+
+    def append(self, label: str, timestamp: datetime | None = None) -> int:
+        ts = timestamp if timestamp is not None else datetime.today()
+        mode = "a"
+        with open(self.path, mode) as f:
+            if not self._wrote_header:
+                f.write(self.header + "\n")
+                self._wrote_header = True
+            f.write(f"{self.index}\t{label}\t{ts}\n")
+        idx = self.index
+        self.index += 1
+        return idx
+
+    def append_batch(self, labels: Iterable[str], start_time: datetime,
+                     step_seconds: float) -> None:
+        """Post-time convention: synthetic timestamps advancing by the window
+        stride per segment."""
+        for i, label in enumerate(labels):
+            self.append(label, start_time + timedelta(seconds=step_seconds * i))
+
+
+def parse_log(path) -> List[Tuple[int, str, str]]:
+    """Parse a session log -> [(segment, label, timestamp_str)]."""
+    rows = []
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    for ln in lines[1:]:
+        seg, label, ts = ln.split("\t")
+        rows.append((int(seg), label, ts))
+    return rows

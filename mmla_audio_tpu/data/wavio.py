@@ -1,0 +1,56 @@
+"""WAV file IO (host side).
+
+PCM16 mono read/write with the same validation the reference applies
+(`record_on_pc.py:188-197`: mono, 16-bit, rate in {8, 16, 32, 48} kHz).
+Uses the stdlib ``wave`` module + NumPy — audio file IO stays on the host;
+the device only ever sees fixed-shape sample buffers.
+
+A native C++ fast path (``streaming.native``) is used automatically for bulk
+segment extraction when the shared library is built.
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav", "read_wav_float"]
+
+VALID_RATES = (8000, 16000, 32000, 48000)
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Read a PCM16 WAV -> (int16 samples, sample_rate).  Mono enforced:
+    multi-channel files keep channel 0 (the reference's Pi runner does the
+    same with ReSpeaker 2-channel capture, record_on_pi.py:85-90)."""
+    with wave.open(str(path), "rb") as wf:
+        n_ch = wf.getnchannels()
+        assert wf.getsampwidth() == 2, "16-bit PCM required"
+        rate = wf.getframerate()
+        assert rate in VALID_RATES, f"unsupported rate {rate}"
+        raw = wf.readframes(wf.getnframes())
+    data = np.frombuffer(raw, dtype=np.int16)
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch)[:, 0]
+    return data.copy(), rate
+
+
+def read_wav_float(path) -> tuple[np.ndarray, int]:
+    """librosa.load(sr=None) convention: int16 -> float32 in [-1, 1)."""
+    data, rate = read_wav(path)
+    return (data.astype(np.float32) / 32768.0), rate
+
+
+def write_wav(path, samples: np.ndarray, sample_rate: int = 16000) -> None:
+    """Write mono PCM16.  Accepts int16, or float in [-1, 1] (scaled)."""
+    if samples.dtype != np.int16:
+        samples = np.clip(samples, -1.0, 1.0)
+        samples = (samples * 32767.0).astype(np.int16)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())

@@ -1,0 +1,133 @@
+"""Jitted window-to-label inference: the serve layer.
+
+The reference's hot loop writes each 2.56 s window to a WAV, denoises it,
+VAD-trims it, writes a PNG, re-reads the PNG, and calls ``model.predict`` at
+batch 1 (`record_on_pc.py:114-173`).  Here the entire decision is ONE compiled
+XLA program over a fixed-shape device buffer:
+
+    (B, 40960) int16-scale samples + (B,) valid counts
+        -> featurize (fused GEMM DSP) -> model forward -> argmax + silent gate
+        -> (B,) int32 labels
+
+Silent windows (< 4000 valid samples post-VAD, `record_on_pc.py:142`,
+`speaker_identification.py:375`) get the sentinel class ``SILENT`` so the
+whole batch stays data-parallel — no host round-trip per window.
+
+Predictors precompile per batch size; windows are independent, so scaling is
+pure data parallelism (see ``parallel``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.core.config import (
+    OverlapFeatureConfig,
+    OverlapModelConfig,
+    SpeakerFeatureConfig,
+    SpeakerModelConfig,
+)
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature_batch
+
+__all__ = ["SILENT", "OverlapPredictor", "SpeakerPredictor"]
+
+SILENT = -1  # label index for the silent gate (reference logs the string)
+
+
+def _masked_prefix(buf: jnp.ndarray, n: jnp.ndarray, length: int) -> jnp.ndarray:
+    """First ``length`` samples of each row, zero beyond the valid count."""
+    pre = buf[..., :length]
+    idx = jnp.arange(length)
+    return jnp.where(idx < n[..., None], pre, 0.0)
+
+
+class OverlapPredictor:
+    """Overlap detection over (denoised, VAD-trimmed) windows.
+
+    ``predict(buf, n)``: ``buf (B, >=24000)`` float32 int16-scale samples
+    (raw PCM values), ``n (B,)`` valid counts -> ``(labels (B,), probs (B, C))``
+    with label SILENT where ``n < 4000``.
+    """
+
+    def __init__(self, variables: Dict[str, Any],
+                 model_cfg: OverlapModelConfig = OverlapModelConfig(),
+                 feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig()):
+        self.model = OverlapResBLSTM(model_cfg)
+        self.variables = variables
+        self.feat_cfg = feat_cfg
+        self.silent_threshold = 4000
+        self._jit = jax.jit(self._forward)
+
+    def _forward(self, variables, buf, n):
+        cfg = self.feat_cfg
+        # librosa.load scale: int16 -> [-1, 1)
+        y = _masked_prefix(buf.astype(jnp.float32), n, cfg.n_samples) / 32768.0
+        img = overlap_model_input(y, cfg)                       # (B, 128, 151, 3)
+        logits = self.model.apply(variables, img)
+        probs = jax.nn.softmax(logits, axis=-1)
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        labels = jnp.where(n < self.silent_threshold, SILENT, labels)
+        return labels, probs
+
+    def predict(self, buf, n):
+        buf = jnp.asarray(buf, jnp.float32)
+        n = jnp.asarray(n, jnp.int32)
+        if buf.ndim == 1:
+            labels, probs = self._jit(self.variables, buf[None], n[None])
+            return labels[0], probs[0]
+        return self._jit(self.variables, buf, n)
+
+    def lower_fn(self):
+        """(fn, variables) pair for AOT compilation / sharding wrappers."""
+        return self._forward
+
+
+class SpeakerPredictor:
+    """Speaker identification over (denoised, VAD-trimmed) windows.
+
+    ``predict(buf, n)``: ``buf (B, 40960)`` float32 raw int16-scale samples,
+    ``n (B,)`` -> ``(labels (B,), probs (B, n_speakers))`` with SILENT gate.
+    Map label -> name via the enrollment ``speaker_id_dict``.
+    """
+
+    def __init__(self, variables: Dict[str, Any],
+                 model_cfg: SpeakerModelConfig = SpeakerModelConfig(),
+                 feat_cfg: SpeakerFeatureConfig = SpeakerFeatureConfig(),
+                 head_units: int | None = None,
+                 sigmoid_head: bool = False):
+        self.model = SpeakerResBLSTM(model_cfg, head_units=head_units)
+        self.variables = variables
+        self.feat_cfg = feat_cfg
+        self.sigmoid_head = sigmoid_head
+        self._jit = jax.jit(self._forward)
+
+    def _forward(self, variables, buf, n):
+        cfg = self.feat_cfg
+        feats, _ = speaker_feature_batch(buf.astype(jnp.float32), n, cfg)
+        logits = self.model.apply(variables, feats)
+        # Transfer-learned heads use sigmoid activation
+        # (speaker_identification.py:409); argmax is invariant but the
+        # probabilities logged differ.
+        probs = jax.nn.sigmoid(logits) if self.sigmoid_head else \
+            jax.nn.softmax(logits, axis=-1)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        labels = jnp.where(n < cfg.silent_samples, SILENT, labels)
+        return labels, probs
+
+    def predict(self, buf, n):
+        buf = jnp.asarray(buf, jnp.float32)
+        n = jnp.asarray(n, jnp.int32)
+        if buf.ndim == 1:
+            labels, probs = self._jit(self.variables, buf[None], n[None])
+            return labels[0], probs[0]
+        return self._jit(self.variables, buf, n)
+
+    def lower_fn(self):
+        return self._forward

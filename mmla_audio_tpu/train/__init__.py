@@ -1,0 +1,25 @@
+from mmla_audio_tpu.train.losses import (
+    cal_weighted_penalty,
+    categorical_accuracy,
+    keras_categorical_crossentropy,
+    weighted_categorical_crossentropy,
+)
+from mmla_audio_tpu.train.optimizers import adadelta, rmsprop
+from mmla_audio_tpu.train.schedules import cosine_annealing
+from mmla_audio_tpu.train.trainer import Trainer, TrainState, pad_to_batches
+from mmla_audio_tpu.train.transfer import TransferLearner, train_val_split
+
+__all__ = [
+    "cal_weighted_penalty",
+    "categorical_accuracy",
+    "keras_categorical_crossentropy",
+    "weighted_categorical_crossentropy",
+    "adadelta",
+    "rmsprop",
+    "cosine_annealing",
+    "Trainer",
+    "TrainState",
+    "pad_to_batches",
+    "TransferLearner",
+    "train_val_split",
+]

@@ -1,0 +1,63 @@
+"""Losses and metrics with Keras-parity semantics.
+
+The reference trains in probability space: models end in softmax/sigmoid and
+use ``categorical_crossentropy`` (which renormalizes and clips) or the custom
+``weighted_categorical_crossentropy`` (`overlap_features_generator.py:9-26`).
+Reproducing those exact loss surfaces keeps convergence behavior (and the
+acc >= 0.80 registration gate) comparable; all take LOGITS and apply the
+activation internally for numerical sanity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "keras_categorical_crossentropy",
+    "weighted_categorical_crossentropy",
+    "categorical_accuracy",
+    "cal_weighted_penalty",
+]
+
+_EPSILON = 1e-7  # keras backend epsilon
+
+
+def _normalized_probs(probs):
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return jnp.clip(probs, _EPSILON, 1.0 - _EPSILON)
+
+
+def keras_categorical_crossentropy(logits, y_true, activation: str = "softmax"):
+    """Keras CCE on activated outputs: renormalize, clip, -sum(y log p).
+    ``activation='sigmoid'`` replicates the transfer head
+    (`speaker_identification.py:409`), where outputs don't sum to 1 and the
+    renormalization matters."""
+    probs = jax.nn.softmax(logits, axis=-1) if activation == "softmax" \
+        else jax.nn.sigmoid(logits)
+    probs = _normalized_probs(probs)
+    return -jnp.sum(y_true * jnp.log(probs), axis=-1)
+
+
+def weighted_categorical_crossentropy(logits, y_true, weights,
+                                      activation: str = "softmax"):
+    """`weighted_categorical_crossentropy` (overlap_features_generator.py:9-26):
+    per-class weights multiply the log-prob terms before summation."""
+    probs = jax.nn.softmax(logits, axis=-1) if activation == "softmax" \
+        else jax.nn.sigmoid(logits)
+    probs = _normalized_probs(probs)
+    w = jnp.asarray(weights, probs.dtype)
+    return -jnp.sum(y_true * jnp.log(probs) * w, axis=-1)
+
+
+def categorical_accuracy(logits, y_true):
+    return jnp.mean(
+        (jnp.argmax(logits, axis=-1) == jnp.argmax(y_true, axis=-1))
+        .astype(jnp.float32))
+
+
+def cal_weighted_penalty(y_onehot: np.ndarray) -> np.ndarray:
+    """Class weights ``1 - count_c / total`` (overlap_detector.py:123-140)."""
+    quantity = y_onehot.sum(axis=0).astype(np.float64)
+    return 1.0 - quantity / quantity.sum()

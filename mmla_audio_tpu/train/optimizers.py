@@ -1,0 +1,21 @@
+"""Optimizers with Keras-2.x-flavored hyperparameters.
+
+The reference uses Adadelta(lr=1e-3) for the overlap detector
+(`overlap_detector.py:402`) and RMSprop(lr=1e-4 / 1e-6) for speaker training
+(`speaker_identification.py:244, 414, 441`).  Keras defaults: Adadelta
+rho=0.95 eps=1e-7; RMSprop rho=0.9 eps=1e-7, no momentum, uncentered.
+"""
+
+from __future__ import annotations
+
+import optax
+
+__all__ = ["adadelta", "rmsprop"]
+
+
+def adadelta(learning_rate=1e-3, rho: float = 0.95, eps: float = 1e-7):
+    return optax.adadelta(learning_rate=learning_rate, rho=rho, eps=eps)
+
+
+def rmsprop(learning_rate=1e-4, decay: float = 0.9, eps: float = 1e-7):
+    return optax.rmsprop(learning_rate=learning_rate, decay=decay, eps=eps)

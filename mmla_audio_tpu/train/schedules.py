@@ -1,0 +1,23 @@
+"""Learning-rate schedules.
+
+Cosine annealing matching the reference callback exactly
+(`cosine_annealing.py:6-28`): ``lr(e) = eta_min + (eta_max - eta_min) *
+(1 + cos(pi * e / T_max)) / 2`` stepped per EPOCH (Keras callbacks fire on
+epoch begin), so the optax schedule maps step -> epoch via steps_per_epoch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["cosine_annealing"]
+
+
+def cosine_annealing(t_max: int = 100, eta_max: float = 1e-2,
+                     eta_min: float = 1e-4, steps_per_epoch: int = 1):
+    def schedule(step):
+        import jax.numpy as jnp
+        epoch = step // steps_per_epoch
+        return eta_min + (eta_max - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * epoch / t_max)) / 2.0
+    return schedule

@@ -1,0 +1,118 @@
+"""End-to-end slice: WAV -> jitted featurize+forward -> label -> TSV log.
+
+Mirrors `overlap_detector_run.py` / the post-time pipelines with random-init
+weights (the reference's shipped weight blobs are stripped)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import synth_speech, synth_speech_i16
+
+from mmla_audio_tpu.analyze.logs import (
+    OVERLAP_LABELS_3WAY,
+    SessionLog,
+    parse_log,
+)
+from mmla_audio_tpu.data.wavio import read_wav, read_wav_float, write_wav
+from mmla_audio_tpu.inference import SILENT, OverlapPredictor, SpeakerPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+
+def test_wav_roundtrip(tmp_path):
+    sig = synth_speech_i16(40960, seed=1)
+    p = tmp_path / "a.wav"
+    write_wav(p, sig)
+    back, rate = read_wav(p)
+    assert rate == 16000
+    np.testing.assert_array_equal(back, sig)
+    backf, _ = read_wav_float(p)
+    np.testing.assert_allclose(backf, sig.astype(np.float32) / 32768.0)
+
+
+def test_overlap_predict_end_to_end(tmp_path):
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+
+    # one window from a WAV file, one silent window
+    wav = tmp_path / "w.wav"
+    write_wav(wav, synth_speech_i16(40960, seed=2))
+    sig, _ = read_wav(wav)
+    buf = np.zeros((2, 40960), np.float32)
+    buf[0, :len(sig)] = sig
+    buf[1, :100] = 500.0  # silent: only 100 valid samples
+    labels, probs = pred.predict(buf, np.array([len(sig), 100]))
+    labels = np.asarray(labels)
+    assert labels.shape == (2,)
+    assert labels[0] in (0, 1)
+    assert labels[1] == SILENT
+    assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_overlap_single_window_api():
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    buf = np.zeros(40960, np.float32)
+    sig = synth_speech_i16(24000, seed=3)
+    buf[:24000] = sig
+    label, probs = pred.predict(buf, 24000)
+    assert np.asarray(label).shape == ()
+    assert probs.shape == (2,)
+
+
+def test_speaker_predict_end_to_end():
+    model = SpeakerResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = SpeakerPredictor(variables)
+    buf = np.zeros((3, 40960), np.float32)
+    for i in range(2):
+        buf[i] = synth_speech_i16(40960, seed=4 + i)
+    n = np.array([40960, 40960, 1000])
+    labels, probs = pred.predict(buf, n)
+    labels = np.asarray(labels)
+    assert labels.shape == (3,)
+    assert 0 <= labels[0] < 630 and 0 <= labels[1] < 630
+    assert labels[2] == SILENT
+    assert probs.shape == (3, 630)
+
+
+def test_transfer_head_predictor():
+    model = SpeakerResBLSTM(head_units=3)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = SpeakerPredictor(variables, head_units=3, sigmoid_head=True)
+    buf = np.zeros((1, 40960), np.float32)
+    buf[0] = synth_speech_i16(40960, seed=9)
+    labels, probs = pred.predict(buf, np.array([40960]))
+    assert probs.shape == (1, 3)
+    assert ((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1)).all()
+
+
+def test_session_log_format(tmp_path):
+    log = SessionLog(tmp_path / "s.txt", kind="overlap", start_index=1)
+    log.append("non-overlapped")
+    log.append("silent")
+    text = (tmp_path / "s.txt").read_text().splitlines()
+    assert text[0] == "segment\toverlapped degree\ttimestamp"
+    seg, label, ts = text[1].split("\t")
+    assert seg == "1" and label == "non-overlapped"
+    # str(datetime.today()) format: 'YYYY-MM-DD HH:MM:SS.ffffff'
+    assert len(ts.split(" ")) == 2 and "-" in ts and ":" in ts
+    rows = parse_log(tmp_path / "s.txt")
+    assert rows == [(1, "non-overlapped", rows[0][2]), (2, "silent", rows[1][2])]
+
+
+def test_post_time_log_timestamps(tmp_path):
+    from datetime import datetime
+    log = SessionLog(tmp_path / "p.txt", kind="speaker", start_index=0,
+                     overwrite=True)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    log.append_batch(["alice", "bob", "silent"], t0, 2.56)
+    rows = parse_log(tmp_path / "p.txt")
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[0][2] == "2026-01-01 12:00:00"
+    assert rows[1][2] == "2026-01-01 12:00:02.560000"
+    labels = OVERLAP_LABELS_3WAY
+    assert labels["2"] == "silent"

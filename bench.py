@@ -1,0 +1,92 @@
+"""Benchmark: streaming overlap-detection throughput on one chip.
+
+End-to-end hot path per window — raw PCM (2.56 s captured audio) -> masked
+prefix -> fused GEMM DSP (STFT/mel/ZCR image + PNG-quantization) -> ResBLSTM
+forward -> label — as ONE compiled XLA program, batched over independent
+windows (the TPU replacement for the reference's disk-round-trip
+`record_on_pc.py:114-173` loop at batch 1).
+
+Timing methodology: the dev tunnel to the chip has high per-call latency and
+an async `block_until_ready`, so K inference steps are chained inside a
+single jitted `lax.scan` (each step's input depends on the previous step's
+labels to prevent loop hoisting) and the clock stops on a 4-byte host fetch
+of the final output.  This measures on-device throughput the way a real
+serving binary would see it.
+
+Prints one JSON line:
+  metric      = real-time factor (audio-seconds processed per second per chip)
+  vs_baseline = RTF / 1000 (BASELINE.json north-star: >1000x RT per chip;
+                the reference publishes no speed numbers of its own)
+"""
+
+import json
+import time
+
+import numpy as np
+
+B = 256          # windows per batch
+K = 8            # chained steps inside the jit
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import AudioConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+
+    audio = AudioConfig()
+    window_sec = audio.window_seconds            # 2.56 s captured per decision
+    n_samples = audio.window_samples             # 40960
+
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    fwd = pred.lower_fn()
+
+    @jax.jit
+    def chained(variables, buf, n):
+        def body(carry, _):
+            b = carry
+            labels, probs = fwd(variables, b, n)
+            # data dependency between steps so XLA cannot hoist the body
+            b = b + labels.sum().astype(b.dtype) * 1e-12
+            return b, labels[0]
+        _, outs = jax.lax.scan(body, buf, jnp.arange(K))
+        return outs
+
+    rng = np.random.RandomState(0)
+    buf = jnp.asarray((rng.randn(B, n_samples) * 3000).astype(np.float32))
+    n = jnp.full((B,), n_samples, jnp.int32)
+
+    # warmup: compile + first execution, synced by a tiny host fetch
+    out = chained(variables, buf, n)
+    _ = np.asarray(out[-1])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(variables, buf, n)
+        _ = np.asarray(out[-1])                  # 4-byte sync point
+        times.append(time.perf_counter() - t0)
+
+    t_call = float(np.median(times))
+    per_step = t_call / K
+    rtf = B * window_sec / per_step
+    p50_window_ms = per_step * 1000.0            # batch window-to-decision
+
+    print(json.dumps({
+        "metric": "overlap_rtf_audio_sec_per_sec_per_chip",
+        "value": round(rtf, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 1000.0, 3),
+        "batch": B,
+        "chained_steps": K,
+        "batch_step_ms": round(p50_window_ms, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

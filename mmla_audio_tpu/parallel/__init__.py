@@ -1,0 +1,17 @@
+from mmla_audio_tpu.parallel.mesh import (
+    DataParallel,
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DataParallel",
+    "batch_sharding",
+    "make_mesh",
+    "replicate_tree",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,74 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process batch-size-1 (SURVEY §2.5) — the TPU-native
+scaling story is pure data parallelism: conversation windows are independent,
+so a window batch shards over the ``data`` ICI axis and parameters replicate.
+The ``model`` axis exists for forward-compat (these models are a few M params,
+TP is not warranted) and stays size 1 by default.
+
+All sharding goes through ``jax.jit`` with ``NamedSharding`` constraints —
+XLA inserts the (all-reduce of gradients, etc.) collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmla_audio_tpu.core.config import MeshConfig
+
+__all__ = ["make_mesh", "replicated", "batch_sharding", "shard_batch",
+           "replicate_tree", "DataParallel"]
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1,
+              cfg: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data}x{n_model} devices, have {len(devices)}")
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (cfg.data_axis, cfg.model_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(x, mesh: Mesh):
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def replicate_tree(tree: Any, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+class DataParallel:
+    """Wrap a ``fn(variables/state, *batch_arrays)`` into a data-parallel
+    jitted program: first argument replicated, the rest sharded on ``data``.
+
+    Works for inference (``predictor.lower_fn()``) and training steps alike;
+    gradients/metrics that contract over the batch come out replicated
+    because XLA reduces them over the mesh automatically.
+    """
+
+    def __init__(self, fn, mesh: Mesh, donate_state: bool = False):
+        self.mesh = mesh
+        self.fn = fn
+        # Input shardings are committed by device_put in __call__ (arity of
+        # *batch varies); jit propagates them and inserts ICI collectives.
+        self._jit = jax.jit(fn, donate_argnums=(0,) if donate_state else ())
+
+    def __call__(self, state, *batch):
+        state = replicate_tree(state, self.mesh)
+        batch = tuple(shard_batch(b, self.mesh) for b in batch)
+        return self._jit(state, *batch)

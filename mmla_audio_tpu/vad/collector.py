@@ -1,0 +1,164 @@
+"""WebRTC-style VAD gating as a fixed-shape jittable program.
+
+Reproduces the reference's `frame_generator` + `vad_collector` state machine
+(`OverlapDetection/scripts/record_on_pc.py:229-295`, duplicated 5x in the
+repo) exactly, given per-frame speech decisions:
+
+* 30 ms frames (480 samples @ 16 kHz); a frame exists iff
+  ``offset + frame < n_samples`` (strict, :240).
+* Hysteresis over a 10-frame ring (300 ms).  Because the trigger test
+  compares against ``ring.maxlen`` (not its occupancy, :265,:283), both
+  transitions require 10/10 agreement: NOTTRIGGERED -> TRIGGERED when the
+  last 10 frames since the previous clear are all voiced (the ring content is
+  then emitted retroactively), TRIGGERED -> NOTTRIGGERED when the last 10
+  since the trigger are all unvoiced; the ring clears at every transition.
+* Output = concatenation of emitted frames in order; leftover voiced frames
+  at end-of-input are flushed (:294).
+
+The retroactive ring emission is resolved in a post-pass (keep[i] |=
+trigger_event within the next 9 frames), so the whole collector is a
+``lax.scan`` + vector ops over a static frame count — no dynamic shapes.
+
+The per-frame decision itself is pluggable: ``energy_vad`` (below) replaces
+the webrtcvad GMM with a calibrated log-energy detector so gating runs
+device-side; tests drive the collector with synthetic decision patterns for
+exact state-machine parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.core.config import VadConfig
+
+__all__ = ["frame_count", "collect_mask", "apply_mask", "vad_trim",
+           "energy_vad", "calibrate_threshold"]
+
+
+def frame_count(n_samples: int, frame_len: int = 480) -> int:
+    """Static frame count for a full buffer (strict `<`, record_on_pc.py:240)."""
+    if n_samples <= frame_len:
+        return 0
+    return (n_samples - frame_len - 1) // frame_len + 1
+
+
+def collect_mask(is_speech: jnp.ndarray, valid: jnp.ndarray | None = None,
+                 ring: int = 10) -> jnp.ndarray:
+    """vad_collector keep-mask over per-frame decisions ``is_speech (T,)``.
+
+    ``valid (T,)`` marks frames that exist for a shorter-than-buffer signal
+    (invalid frames never trigger or emit).  Returns bool ``(T,)``: which
+    frames appear in the concatenated output, in order.
+    """
+    T = is_speech.shape[0]
+    is_speech = is_speech.astype(jnp.bool_)
+    if valid is None:
+        valid = jnp.ones((T,), jnp.bool_)
+    thresh = 0.9 * ring                             # `> 0.9 * ring.maxlen`
+
+    def step(carry, inp):
+        triggered, flags, in_ring = carry           # last `ring` slots
+        speech, ok = inp
+        # deque append (only real frames enter the ring)
+        flags_n = jnp.roll(flags, -1).at[-1].set(speech)
+        ring_n = jnp.roll(in_ring, -1).at[-1].set(True)
+        flags = jnp.where(ok, flags_n, flags)
+        in_ring = jnp.where(ok, ring_n, in_ring)
+
+        num_voiced = jnp.sum((flags & in_ring).astype(jnp.int32))
+        num_unvoiced = jnp.sum((~flags & in_ring).astype(jnp.int32))
+        occupancy = jnp.sum(in_ring.astype(jnp.int32))
+
+        trigger_ev = ok & (~triggered) & (num_voiced > thresh)
+        untrigger_ev = ok & triggered & (num_unvoiced > thresh)
+        keep_now = ok & triggered                   # appended to voiced_frames
+
+        new_triggered = jnp.where(trigger_ev, True,
+                                  jnp.where(untrigger_ev, False, triggered))
+        # ring.clear() at both transitions
+        in_ring = jnp.where(trigger_ev | untrigger_ev,
+                            jnp.zeros_like(in_ring), in_ring)
+        return (new_triggered, flags, in_ring), (keep_now, trigger_ev, occupancy)
+
+    init = (jnp.asarray(False), jnp.zeros((ring,), jnp.bool_),
+            jnp.zeros((ring,), jnp.bool_))
+    _, (keep, trig, occ) = jax.lax.scan(step, init, (is_speech, valid))
+
+    # Retroactive ring emission: a trigger at t keeps the occ[t] frames
+    # t-occ[t]+1 .. t (ring contents at the moment of triggering).
+    trig_pad = jnp.concatenate([trig, jnp.zeros((ring,), jnp.bool_)])
+    occ_pad = jnp.concatenate([occ, jnp.zeros((ring,), jnp.int32)])
+    retro = jnp.zeros((T,), jnp.bool_)
+    for d in range(ring):
+        retro = retro | (trig_pad[d: d + T] & (occ_pad[d: d + T] > d))
+    return (keep | retro) & valid
+
+
+def apply_mask(frames: jnp.ndarray, keep: jnp.ndarray
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact kept frames to the front: ``frames (T, L)``, ``keep (T,)`` ->
+    (compacted (T, L) zero-padded, n_samples kept).  Static shapes."""
+    T, L = frames.shape
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1          # target row if kept
+    target = jnp.where(keep, pos, T)                      # discards -> row T
+    out = jnp.zeros((T + 1, L), frames.dtype).at[target].set(frames)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    return out[:T], n_kept * L
+
+
+def vad_trim(buf: jnp.ndarray, n_samples: jnp.ndarray, is_speech: jnp.ndarray,
+             frame_len: int = 480, ring: int = 10
+             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full trim of one window: ``buf (max_samples,)`` + valid count +
+    per-frame decisions -> (trimmed buffer (max_samples,), new count).
+
+    Matches save_wave_file(silence_remove=True): the output WAV is just the
+    collector's segments concatenated (`record_on_pc.py:214-226`).
+    """
+    max_samples = buf.shape[-1]
+    T = frame_count(max_samples, frame_len)
+    frames = buf[: T * frame_len].reshape(T, frame_len)
+    t_idx = jnp.arange(T)
+    valid = (t_idx * frame_len + frame_len) < n_samples   # strict `<`
+    keep = collect_mask(is_speech[:T], valid, ring)
+    compacted, n_out = apply_mask(frames, keep)
+    out = jnp.zeros_like(buf)
+    out = out.at[: T * frame_len].set(compacted.reshape(-1))
+    return out, n_out
+
+
+def energy_vad(frames: jnp.ndarray, threshold_db: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame speech decision: log RMS energy (int16-scale) vs threshold.
+
+    Replaces webrtcvad's GMM decision with a device-side detector calibrated
+    against the session's ambient-noise profile (the reference records one
+    anyway, record_on_pc.py:302-322).  Not bit-identical to WebRTC — the
+    *gating state machine* above is the behavioral contract.
+    """
+    energy = jnp.mean(jnp.square(frames.astype(jnp.float32)), axis=-1)
+    db = 10.0 * jnp.log10(jnp.maximum(energy, 1e-10))
+    return db > threshold_db
+
+
+# Margin (dB above ambient-noise floor) per webrtcvad aggressiveness level:
+# higher aggressiveness -> stricter speech test, as with Vad(0..3).
+_AGGR_MARGIN_DB = {0: 3.0, 1: 6.0, 2: 9.0, 3: 12.0}
+
+
+def calibrate_threshold(noise_clip: np.ndarray, aggressiveness: int = 3,
+                        frame_len: int = 480) -> float:
+    """Threshold = ambient-noise frame-energy p95 + margin(aggressiveness).
+
+    ``noise_clip``: int16-scale samples of the 10 s calibration recording.
+    """
+    n = (len(noise_clip) // frame_len) * frame_len
+    if n == 0:
+        return -40.0 + _AGGR_MARGIN_DB[aggressiveness]
+    frames = np.asarray(noise_clip[:n], np.float32).reshape(-1, frame_len)
+    energy = np.mean(np.square(frames), axis=-1)
+    db = 10.0 * np.log10(np.maximum(energy, 1e-10))
+    return float(np.percentile(db, 95) + _AGGR_MARGIN_DB[aggressiveness])

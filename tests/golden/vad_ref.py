@@ -1,0 +1,45 @@
+"""Python golden of the reference VAD collector state machine
+(`OverlapDetection/scripts/record_on_pc.py:229-295`), operating on frame
+indices instead of byte strings."""
+
+import collections
+
+
+def frame_indices(n_samples, frame_len=480):
+    """frame_generator: yields frames while offset + n < len (strict)."""
+    out = []
+    offset = 0
+    while offset + frame_len < n_samples:
+        out.append(offset // frame_len)
+        offset += frame_len
+    return out
+
+
+def vad_collector_indices(is_speech, ring=10, ratio=0.9):
+    """Returns the list of frame indices contained in the yielded segments,
+    in order (literal transcription of vad_collector)."""
+    ring_buffer = collections.deque(maxlen=ring)
+    triggered = False
+    voiced_frames = []
+    segments = []
+    for idx, speech in enumerate(is_speech):
+        if not triggered:
+            ring_buffer.append((idx, speech))
+            num_voiced = len([f for f, s in ring_buffer if s])
+            if num_voiced > ratio * ring_buffer.maxlen:
+                triggered = True
+                for f, s in ring_buffer:
+                    voiced_frames.append(f)
+                ring_buffer.clear()
+        else:
+            voiced_frames.append(idx)
+            ring_buffer.append((idx, speech))
+            num_unvoiced = len([f for f, s in ring_buffer if not s])
+            if num_unvoiced > ratio * ring_buffer.maxlen:
+                triggered = False
+                segments.append(list(voiced_frames))
+                ring_buffer.clear()
+                voiced_frames = []
+    if voiced_frames:
+        segments.append(list(voiced_frames))
+    return [f for seg in segments for f in seg]

@@ -1,0 +1,126 @@
+"""VAD collector parity vs the reference state machine + trim mechanics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.golden.vad_ref import frame_indices, vad_collector_indices
+
+from mmla_audio_tpu.vad.collector import (
+    apply_mask,
+    calibrate_threshold,
+    collect_mask,
+    energy_vad,
+    frame_count,
+    vad_trim,
+)
+
+
+def test_frame_count_strict_inequality():
+    for n in [0, 480, 481, 960, 40960, 81920 // 2]:
+        assert frame_count(n) == len(frame_indices(n)), n
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_collect_mask_matches_reference_random(seed):
+    rng = np.random.RandomState(seed)
+    T = 85
+    # block-structured speech patterns exercise both transitions
+    is_speech = np.zeros(T, bool)
+    t = 0
+    while t < T:
+        run = rng.randint(3, 25)
+        val = rng.rand() < 0.5
+        is_speech[t:t + run] = val
+        t += run
+    got = np.asarray(collect_mask(jnp.asarray(is_speech)))
+    expect_idx = vad_collector_indices(list(is_speech))
+    expect = np.zeros(T, bool)
+    expect[expect_idx] = True
+    np.testing.assert_array_equal(got, expect, err_msg=str(seed))
+
+
+def test_collect_mask_all_speech_and_all_silence():
+    T = 40
+    all_speech = np.asarray(collect_mask(jnp.ones(T, bool)))
+    expect_idx = vad_collector_indices([True] * T)
+    expect = np.zeros(T, bool)
+    expect[expect_idx] = True
+    np.testing.assert_array_equal(all_speech, expect)
+    # trigger at frame 9 emits ring 0..9 retroactively, then stays triggered
+    assert all_speech.all()
+    silence = np.asarray(collect_mask(jnp.zeros(T, bool)))
+    assert not silence.any()
+
+
+def test_collect_mask_trailing_voiced_flushed():
+    # speech starts late and never untriggers: leftover must be kept
+    T = 30
+    pattern = [False] * 10 + [True] * 20
+    got = np.asarray(collect_mask(jnp.asarray(pattern)))
+    expect_idx = vad_collector_indices(pattern)
+    expect = np.zeros(T, bool)
+    expect[expect_idx] = True
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_apply_mask_compacts_in_order():
+    frames = jnp.arange(5 * 4).reshape(5, 4).astype(jnp.float32)
+    keep = jnp.asarray([True, False, True, True, False])
+    out, n = apply_mask(frames, keep)
+    assert int(n) == 12
+    np.testing.assert_array_equal(np.asarray(out[0]), np.arange(4))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.arange(8, 12))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.arange(12, 16))
+    np.testing.assert_array_equal(np.asarray(out[3]), 0)
+
+
+def test_vad_trim_end_to_end():
+    """Loud speech burst in the middle of silence is extracted verbatim."""
+    sr = 16000
+    n = 40960
+    rng = np.random.RandomState(0)
+    buf = (rng.randn(n) * 10).astype(np.float32)           # quiet noise
+    burst = (np.sin(2 * np.pi * 440 * np.arange(16 * 480) / sr) * 8000)
+    start = 20 * 480
+    buf[start:start + len(burst)] += burst.astype(np.float32)
+
+    T = frame_count(n)
+    frames = buf[: T * 480].reshape(T, 480)
+    thr = calibrate_threshold((rng.randn(16000) * 10).astype(np.float32))
+    is_speech = energy_vad(jnp.asarray(frames), thr)
+    out, n_out = vad_trim(jnp.asarray(buf), jnp.asarray(n),
+                          is_speech)
+    n_out = int(n_out)
+    assert n_out > 0
+    # golden: reference collector on the same decisions
+    expect_idx = vad_collector_indices(list(np.asarray(is_speech)))
+    assert n_out == len(expect_idx) * 480
+    expect_audio = np.concatenate([frames[i] for i in expect_idx])
+    np.testing.assert_array_equal(np.asarray(out[:n_out]), expect_audio)
+
+
+def test_vad_trim_short_signal_valid_frames_only():
+    buf = jnp.zeros(40960, jnp.float32)
+    is_speech = jnp.ones(frame_count(40960), bool)
+    out, n_out = vad_trim(buf, jnp.asarray(481), is_speech)
+    # only frames with offset+480 < 481 exist -> 0 complete frames... offset 0:
+    # 0+480 < 481 -> frame 0 exists; one frame can never trigger (needs 10)
+    assert int(n_out) == 0
+
+
+def test_energy_vad_thresholding():
+    loud = jnp.full((3, 480), 5000.0)
+    quiet = jnp.full((3, 480), 5.0)
+    assert np.asarray(energy_vad(loud, 40.0)).all()
+    assert not np.asarray(energy_vad(quiet, 40.0)).any()
+
+
+def test_calibrate_threshold_above_noise():
+    rng = np.random.RandomState(1)
+    noise = (rng.randn(160000) * 50).astype(np.float32)
+    thr = calibrate_threshold(noise, aggressiveness=3)
+    frames = noise[:480 * 50].reshape(50, 480)
+    decisions = np.asarray(energy_vad(jnp.asarray(frames), thr))
+    assert decisions.mean() < 0.2  # noise itself mostly below threshold

@@ -1,0 +1,185 @@
+"""Stationary spectral-gating noise reduction (noisereduce semantics).
+
+The reference calls ``noisereduce.reduce_noise(y_noise=<10 s ambient>,
+stationary=True)`` once per live window (`record_on_pc.py:208-212`), x3 on
+post-time ``audio*`` files and x4 on the Pi.  Algorithm (noisereduce 2.x
+``SpectralGateStationary``):
+
+  1. noise profile: ``|STFT|`` (n_fft 1024, hop 256, Hann, centered) ->
+     dB (librosa ``amplitude_to_db``: 20 log10, amin 1e-20, top_db 80) ->
+     per-frequency ``mean + 1.5 * std`` threshold.
+  2. signal: same STFT -> dB -> boolean mask ``sig_db > thresh`` ->
+     ``mask * prop_decrease + (1 - prop_decrease)`` -> smoothed by an outer
+     triangular kernel (~500 Hz x 50 ms, normalized, 'same' convolution).
+  3. ``STFT * mask`` -> inverse STFT (overlap-add with squared-window
+     normalization).  The signal is zero-padded by 30 000 samples each side
+     before filtering and trimmed after (noisereduce's chunk padding).
+
+TPU mapping: STFT/ISTFT are the same DFT-as-GEMM bases as ``ops.spectral``;
+the mask smoothing is one small 2-D convolution; the overlap-add is a
+scatter-add.  Everything is fixed-shape, so a whole batch of windows
+denoises in one fused program, replacing the reference's per-window
+host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.core.config import DenoiseConfig
+from mmla_audio_tpu.ops.spectral import frame_signal, hann_periodic
+
+__all__ = ["amp_to_db", "noise_threshold", "reduce_noise", "smoothing_filter"]
+
+_PAD = 30_000  # noisereduce chunk padding
+
+
+@functools.lru_cache(maxsize=None)
+def _bases(n_fft: int):
+    """Windowed forward rDFT bases and inverse (bins -> time) bases."""
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
+    w = hann_periodic(n_fft).astype(np.float64)
+    fwd_cos = (np.cos(ang) * w[:, None]).astype(np.float32)
+    fwd_sin = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    # inverse: x_t = (1/N) [sum_k c_k (a_k cos - b_k sin)], c = 2 except DC/Nyq
+    c = np.full(n_fft // 2 + 1, 2.0)
+    c[0] = 1.0
+    c[-1] = 1.0
+    inv_cos = (np.cos(ang) * c[None, :] / n_fft).astype(np.float32)   # (T, K)
+    inv_sin = (np.sin(ang) * c[None, :] / n_fft).astype(np.float32)
+    return fwd_cos, fwd_sin, inv_cos, inv_sin
+
+
+def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int):
+    """Centered (reflect) STFT -> (re, im) of shape (..., frames, bins)."""
+    n = y.shape[-1]
+    cfg = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    yp = jnp.pad(y, cfg, mode="reflect")
+    n_frames = 1 + n // hop
+    frames = frame_signal(yp, n_fft, hop, n_frames)
+    fc, fs, _, _ = _bases(n_fft)
+    re = jnp.matmul(frames, fc, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, fs, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return re, im
+
+
+def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
+           out_len: int) -> jnp.ndarray:
+    """librosa.istft: windowed inverse frames, overlap-add, /= win^2 sum,
+    trim n_fft//2 head (centered)."""
+    _, _, ic, isn = _bases(n_fft)
+    # x_frame (..., T, n_fft)
+    x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+         - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
+    w = jnp.asarray(hann_periodic(n_fft))
+    xw = x * w                                            # synthesis window
+    T = x.shape[-2]
+    total = n_fft + (T - 1) * hop
+    # scatter-add frames at t*hop
+    idx = (np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    idx = jnp.asarray(idx)
+
+    def oadd(frames_flat):
+        return jnp.zeros((total,), jnp.float32).at[idx].add(frames_flat)
+
+    batch = xw.shape[:-2]
+    flat = xw.reshape((-1, T * n_fft))
+    y = jax.vmap(oadd)(flat).reshape(batch + (total,))
+    wsq = jnp.zeros((total,), jnp.float32).at[idx].add(
+        jnp.tile(w * w, (T,)))
+    y = y / jnp.maximum(wsq, 1e-10)
+    start = n_fft // 2
+    return y[..., start: start + out_len]
+
+
+def amp_to_db(x: jnp.ndarray, top_db: float = 80.0,
+              reduce_axes: tuple | None = None) -> jnp.ndarray:
+    """librosa.amplitude_to_db(ref=1.0, amin=1e-20): 20 log10 with top_db
+    clamp below the (per-``reduce_axes``) max."""
+    db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(x), 1e-20))
+    if top_db is not None:
+        peak = jnp.max(db) if reduce_axes is None else \
+            jnp.max(db, axis=reduce_axes, keepdims=True)
+        db = jnp.maximum(db, peak - top_db)
+    return db
+
+
+@functools.lru_cache(maxsize=None)
+def smoothing_filter(sr: int, n_fft: int, hop: int,
+                     freq_hz: float, time_ms: float) -> np.ndarray:
+    """noisereduce's outer triangular mask-smoothing kernel, sum-normalized."""
+    n_grad_freq = int(freq_hz / (sr / (n_fft / 2)))
+    n_grad_time = int(time_ms / ((hop / sr) * 1000))
+    v_f = np.concatenate([
+        np.linspace(0, 1, n_grad_freq + 1, endpoint=False),
+        np.linspace(1, 0, n_grad_freq + 2),
+    ])[1:-1]
+    v_t = np.concatenate([
+        np.linspace(0, 1, n_grad_time + 1, endpoint=False),
+        np.linspace(1, 0, n_grad_time + 2),
+    ])[1:-1]
+    f = np.outer(v_f, v_t)
+    return (f / f.sum()).astype(np.float32)
+
+
+def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
+                    ) -> jnp.ndarray:
+    """Per-frequency gate threshold from the ambient-noise clip:
+    ``mean_db + n_std * std_db`` over time.  ``noise (n,)`` float [-1, 1]."""
+    re, im = _stft_ri(noise, cfg.n_fft, cfg.hop_length)
+    mag = jnp.sqrt(re * re + im * im)
+    db = amp_to_db(mag)                                   # (T, K)
+    mean = jnp.mean(db, axis=-2)
+    std = jnp.std(db, axis=-2)
+    return mean + std * cfg.n_std_thresh                  # (K,)
+
+
+def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
+                 cfg: DenoiseConfig = DenoiseConfig(),
+                 sr: int = 16_000, passes: int = 1) -> jnp.ndarray:
+    """Denoise ``y (..., n)`` (float [-1, 1]) against a precomputed threshold.
+
+    ``passes`` > 1 re-applies the gate (reference applies x3/x4 on some
+    paths).  The threshold is computed ONCE per session from the calibration
+    clip — exactly the reference's flow, where the noise profile never
+    changes between passes.
+    """
+    n = y.shape[-1]
+    pad_cfg = [(0, 0)] * (y.ndim - 1) + [(_PAD, _PAD)]
+    filt = jnp.asarray(smoothing_filter(
+        sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
+        cfg.time_mask_smooth_ms))
+
+    for _ in range(passes):
+        yp = jnp.pad(y, pad_cfg)
+        re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length)  # (..., T, K)
+        mag = jnp.sqrt(re * re + im * im)
+        db = amp_to_db(mag, reduce_axes=(-2, -1))
+        mask = (db > noise_thresh).astype(jnp.float32)
+        mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+        # 'same' 2-D convolution over (freq, time); mask is (..., T, K) so
+        # transpose to (..., K, T) to match the (freq, time) kernel.
+        m = jnp.swapaxes(mask, -1, -2)
+        batch = m.shape[:-2]
+        m4 = m.reshape((-1, 1) + m.shape[-2:])
+        k4 = filt[None, None, :, :]
+        sm = jax.lax.conv_general_dilated(
+            m4, jnp.flip(k4, axis=(-1, -2)),              # convolution, not corr
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        mask = jnp.swapaxes(sm.reshape(batch + m.shape[-2:]), -1, -2)
+        re = re * mask
+        im = im * mask
+        y = _istft(re, im, cfg.n_fft, cfg.hop_length, yp.shape[-1])
+        y = y[..., _PAD: _PAD + n]
+    return y

@@ -1,0 +1,71 @@
+"""NumPy/SciPy golden of noisereduce 2.x SpectralGateStationary.
+
+Restates the published algorithm with np.fft + scipy.signal (independent of
+the GEMM implementation in mmla_audio_tpu.ops.denoise)."""
+
+import numpy as np
+import scipy.signal
+
+
+def _hann(n):
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def _stft(y, n_fft=1024, hop=256):
+    y = np.pad(y, n_fft // 2, mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    w = _hann(n_fft)
+    cols = [np.fft.rfft(y[t * hop: t * hop + n_fft] * w) for t in range(n_frames)]
+    return np.stack(cols, axis=1)           # (K, T)
+
+
+def _istft(S, n_fft=1024, hop=256, length=None):
+    K, T = S.shape
+    w = _hann(n_fft)
+    total = n_fft + (T - 1) * hop
+    y = np.zeros(total)
+    wsq = np.zeros(total)
+    for t in range(T):
+        frame = np.fft.irfft(S[:, t], n=n_fft)
+        y[t * hop: t * hop + n_fft] += frame * w
+        wsq[t * hop: t * hop + n_fft] += w * w
+    y = y / np.maximum(wsq, 1e-10)
+    y = y[n_fft // 2:]
+    if length is not None:
+        y = y[:length]
+    return y
+
+
+def _amp_to_db(x, top_db=80.0):
+    db = 20.0 * np.log10(np.maximum(np.abs(x), 1e-20))
+    return np.maximum(db, db.max() - top_db)
+
+
+def _smoothing_filter(sr=16000, n_fft=1024, hop=256, freq_hz=500.0, time_ms=50.0):
+    n_grad_freq = int(freq_hz / (sr / (n_fft / 2)))
+    n_grad_time = int(time_ms / ((hop / sr) * 1000))
+    v_f = np.concatenate([
+        np.linspace(0, 1, n_grad_freq + 1, endpoint=False),
+        np.linspace(1, 0, n_grad_freq + 2)])[1:-1]
+    v_t = np.concatenate([
+        np.linspace(0, 1, n_grad_time + 1, endpoint=False),
+        np.linspace(1, 0, n_grad_time + 2)])[1:-1]
+    f = np.outer(v_f, v_t)
+    return f / f.sum()
+
+
+def reduce_noise(y, y_noise, sr=16000, n_fft=1024, hop=256,
+                 n_std_thresh=1.5, prop_decrease=1.0, padding=30000):
+    noise_stft_db = _amp_to_db(np.abs(_stft(y_noise, n_fft, hop)))
+    noise_thresh = noise_stft_db.mean(axis=1) + noise_stft_db.std(axis=1) * n_std_thresh
+
+    n = len(y)
+    yp = np.pad(y, padding)
+    S = _stft(yp, n_fft, hop)                       # (K, T)
+    sig_db = _amp_to_db(np.abs(S))
+    mask = (sig_db > noise_thresh[:, None]).astype(float)
+    mask = mask * prop_decrease + (1.0 - prop_decrease)
+    filt = _smoothing_filter(sr, n_fft, hop)
+    mask = scipy.signal.fftconvolve(mask, filt, mode="same")
+    out = _istft(S * mask, n_fft, hop, length=len(yp))
+    return out[padding: padding + n]

@@ -1,0 +1,97 @@
+"""Spectral-gating denoise vs the NumPy/SciPy golden + properties."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.conftest import synth_speech
+from tests.golden import noisereduce_ref as gold
+
+from mmla_audio_tpu.core.config import DenoiseConfig
+from mmla_audio_tpu.ops.denoise import (
+    amp_to_db,
+    noise_threshold,
+    reduce_noise,
+    smoothing_filter,
+)
+
+
+def _noise(n, seed=0, amp=0.01):
+    return (np.random.RandomState(seed).randn(n) * amp).astype(np.float32)
+
+
+def test_smoothing_filter_matches():
+    ours = smoothing_filter(16000, 1024, 256, 500.0, 50.0)
+    ref = gold._smoothing_filter()
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+    np.testing.assert_allclose(ours.sum(), 1.0, rtol=1e-5)
+
+
+def test_amp_to_db_matches():
+    x = np.abs(np.random.RandomState(0).randn(32, 16)) + 1e-6
+    ours = np.asarray(amp_to_db(jnp.asarray(x)))
+    ref = gold._amp_to_db(x)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_noise_threshold_matches():
+    noise = _noise(160000, seed=1)
+    ours = np.asarray(noise_threshold(jnp.asarray(noise)))
+    S = gold._stft(noise.astype(np.float64))
+    db = gold._amp_to_db(np.abs(S))
+    ref = db.mean(axis=1) + db.std(axis=1) * 1.5
+    np.testing.assert_allclose(ours, ref, atol=2e-2)
+
+
+def test_reduce_noise_matches_golden():
+    noise = _noise(160000, seed=2)
+    sig = synth_speech(40960, seed=3) + _noise(40960, seed=4)
+    thr = noise_threshold(jnp.asarray(noise))
+    ours = np.asarray(reduce_noise(jnp.asarray(sig), thr))
+    ref = gold.reduce_noise(sig.astype(np.float64), noise.astype(np.float64))
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=5e-3 * scale)
+
+
+def test_reduce_noise_attenuates_pure_noise():
+    noise_clip = _noise(160000, seed=5, amp=0.02)
+    window = _noise(40960, seed=6, amp=0.02)
+    thr = noise_threshold(jnp.asarray(noise_clip))
+    out = np.asarray(reduce_noise(jnp.asarray(window), thr))
+    assert np.sqrt((out ** 2).mean()) < 0.25 * np.sqrt((window ** 2).mean())
+
+
+def test_reduce_noise_preserves_loud_tone():
+    sr = 16000
+    noise_clip = _noise(160000, seed=7, amp=0.005)
+    t = np.arange(40960) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    window = tone + _noise(40960, seed=8, amp=0.005)
+    thr = noise_threshold(jnp.asarray(noise_clip))
+    out = np.asarray(reduce_noise(jnp.asarray(window), thr))
+    # The smoothed mask dilutes a single-bin tone to ~0.5 amplitude (same as
+    # real noisereduce); what must survive is the tone SHAPE, not full energy.
+    corr = np.corrcoef(out, tone)[0, 1]
+    assert corr > 0.95, corr
+    assert np.sqrt((out ** 2).mean()) > 0.3 * np.sqrt((tone ** 2).mean())
+
+
+def test_reduce_noise_batched_matches_single():
+    noise_clip = _noise(160000, seed=9)
+    thr = noise_threshold(jnp.asarray(noise_clip))
+    w0 = synth_speech(40960, seed=10) * 0.2
+    w1 = synth_speech(40960, seed=11) * 0.2
+    batch = np.asarray(reduce_noise(jnp.asarray(np.stack([w0, w1])), thr))
+    s0 = np.asarray(reduce_noise(jnp.asarray(w0), thr))
+    s1 = np.asarray(reduce_noise(jnp.asarray(w1), thr))
+    np.testing.assert_allclose(batch[0], s0, atol=1e-5)
+    np.testing.assert_allclose(batch[1], s1, atol=1e-5)
+
+
+def test_multi_pass():
+    noise_clip = _noise(160000, seed=12, amp=0.02)
+    window = _noise(40960, seed=13, amp=0.02)
+    thr = noise_threshold(jnp.asarray(noise_clip))
+    out1 = np.asarray(reduce_noise(jnp.asarray(window), thr, passes=1))
+    out3 = np.asarray(reduce_noise(jnp.asarray(window), thr, passes=3))
+    assert np.sqrt((out3 ** 2).mean()) <= np.sqrt((out1 ** 2).mean()) + 1e-9

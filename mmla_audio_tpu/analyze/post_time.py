@@ -1,0 +1,153 @@
+"""Post-time (offline) batch pipelines for whole conversation recordings.
+
+Reference behavior reproduced:
+
+* Overlap (`overlap_detection_post_processing.py:151-226`): every file under
+  ``experiment/recordings/post-time/whole`` is standardized (``zoom*``: 0
+  denoise passes, ``audio*``: 3), cut into back-to-back 1.5 s segments,
+  featurized, predicted, logged (segment index from 0, +1.5 s synthetic
+  timestamps, first write truncates) and charted.  No silent gate here.
+
+* Speaker (`speaker_identification_post_processing.py:191-354`): standardized
+  conversations are cut into 2.56 s segments whose VAD-trimmed length marks
+  ``silent`` entries; the WHOLE standardized file is featurized in one MFCC
+  pass and sliced into ceil(T/256) windows which the model predicts in one
+  batch; +2.56 s timestamps are added BEFORE every row (including the first),
+  prior log deleted.
+
+TPU difference: every per-segment disk round-trip becomes one batched device
+call (all windows of a conversation in a single program execution).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from pathlib import Path
+from typing import Dict, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmla_audio_tpu.analyze.charts import visualize_log
+from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
+from mmla_audio_tpu.core.config import PipelineConfig
+from mmla_audio_tpu.data.standardize import segment_signal, standardize_audio
+from mmla_audio_tpu.data.wavio import read_wav, write_wav
+from mmla_audio_tpu.ops.mfcc import mfcc39
+from mmla_audio_tpu.utils.experiment import ExperimentDirs
+from mmla_audio_tpu.vad import calibrate_threshold, collect_mask, energy_vad, frame_count
+
+__all__ = ["overlap_post_analyze", "speaker_post_analyze",
+           "speaker_id_dict_from_corpus"]
+
+
+def _standardize_file(path: Path, dirs: ExperimentDirs, noise, passes_audio: int,
+                      cfg: PipelineConfig) -> Path:
+    sig, sr = read_wav(path)
+    passes = 0 if path.name.startswith("zoom") else passes_audio
+    out = standardize_audio(sig, sr, target_sr=cfg.audio.sample_rate,
+                            noise=noise, noise_passes=passes,
+                            denoise_cfg=cfg.denoise, vad_cfg=cfg.vad)
+    dst = dirs.post_standardized / (path.stem + ".wav")
+    write_wav(dst, out, cfg.audio.sample_rate)
+    return dst
+
+
+def overlap_post_analyze(dirs: ExperimentDirs, predictor, *,
+                         cfg: PipelineConfig = PipelineConfig(),
+                         noise: np.ndarray | None = None,
+                         start_time: datetime | None = None,
+                         make_charts: bool = True) -> Dict[str, Path]:
+    """Run the overlap post-time pipeline over ``post-time/whole``.
+
+    ``predictor``: OverlapPredictor.  Returns {conversation: log_path}.
+    """
+    logs = {}
+    win = 1.5
+    sr = cfg.audio.sample_rate
+    for f in sorted(dirs.post_whole.glob("*.wav")):
+        std = _standardize_file(f, dirs, noise, cfg.denoise.passes_post, cfg)
+        sig, _ = read_wav(std)
+        segs = segment_signal(sig, sr, win, win)             # (N, 24000)
+        log_path = dirs.logs / (f.stem + ".txt")
+        log = SessionLog(log_path, kind="overlap", start_index=0)
+        t0 = start_time or datetime.today()
+        if len(segs):
+            pad = np.zeros((segs.shape[0], cfg.audio.window_samples), np.float32)
+            pad[:, :segs.shape[1]] = segs.astype(np.float32)
+            n = np.full((segs.shape[0],), segs.shape[1], np.int32)
+            labels, _ = predictor.predict(pad, n)
+            names = [OVERLAP_LABELS.get(str(int(l)), "silent")
+                     for l in np.asarray(labels)]
+            log.append_batch(names, t0, win)
+        logs[f.stem] = log_path
+        if make_charts:
+            visualize_log(log_path, dirs.charts, kind="overlap")
+    return logs
+
+
+def speaker_id_dict_from_corpus(corpus_dir) -> Dict[str, str]:
+    """speaker_id_dict rebuilt from enrollment filenames
+    (`speaker_identification_post_processing.py:193-197`)."""
+    files = sorted(p.name for p in Path(corpus_dir).glob("*.wav"))
+    return {str(i): name[:-4] for i, name in enumerate(files)}
+
+
+def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
+                         cfg: PipelineConfig = PipelineConfig(),
+                         noise: np.ndarray | None = None,
+                         speaker_id_dict: Dict[str, str] | None = None,
+                         start_time: datetime | None = None,
+                         make_charts: bool = True) -> Dict[str, Path]:
+    """Run the speaker post-time pipeline.  ``predictor``: SpeakerPredictor
+    built on the transfer-learned head."""
+    if speaker_id_dict is None:
+        speaker_id_dict = speaker_id_dict_from_corpus(dirs.corpus)
+    logs = {}
+    sr = cfg.audio.sample_rate
+    win_s = cfg.audio.window_seconds                        # 2.56
+    vad_thr = calibrate_threshold(
+        noise if noise is not None else np.zeros(sr, np.int16),
+        cfg.vad.aggressiveness)
+    frame_len = int(sr * cfg.vad.frame_ms / 1000)
+
+    for f in sorted(dirs.post_whole.glob("*.wav")):
+        std = _standardize_file(f, dirs, noise, cfg.denoise.passes_post, cfg)
+        sig, _ = read_wav(std)
+
+        # silent detection per 2.56 s segment (VAD-trimmed length < 4000)
+        segs = segment_signal(sig, sr, win_s, win_s)
+        silent = set()
+        for i, seg in enumerate(segs):
+            T = frame_count(len(seg), frame_len)
+            if T <= 0:
+                silent.add(i)
+                continue
+            frames = seg[: T * frame_len].reshape(T, frame_len)
+            dec = energy_vad(jnp.asarray(frames.astype(np.float32)), vad_thr)
+            keep = np.asarray(collect_mask(dec, ring=cfg.vad.ring_frames))
+            if keep.sum() * frame_len < cfg.speaker_feature.silent_samples:
+                silent.add(i)
+
+        # whole-file featurization, sliced into 256-frame windows
+        feats = np.asarray(mfcc39(jnp.asarray(sig.astype(np.float32))))
+        T = feats.shape[0]
+        n_slices = -(-T // 256)
+        feats = np.concatenate(
+            [feats, np.zeros((n_slices * 256 - T, 39), np.float32)])
+        slices = feats.reshape(n_slices, 256, 39)
+        logits = predictor.logits_from_features(jnp.asarray(slices))
+        pred_idx = np.argmax(np.asarray(logits), axis=-1)
+
+        log_path = dirs.logs / (f.stem + ".txt")
+        log = SessionLog(log_path, kind="speaker", start_index=0, overwrite=True)
+        t = start_time or datetime.today()
+        for i in range(n_slices):
+            t = t + timedelta(seconds=win_s)                # delta BEFORE row
+            name = "silent" if i in silent else \
+                speaker_id_dict[str(int(pred_idx[i]))]
+            log.append(name, t)
+        logs[f.stem] = log_path
+        if make_charts:
+            visualize_log(log_path, dirs.charts, kind="speaker")
+    return logs

@@ -107,6 +107,8 @@ class SpeakerPredictor:
         self.feat_cfg = feat_cfg
         self.sigmoid_head = sigmoid_head
         self._jit = jax.jit(self._forward)
+        self._logits_jit = jax.jit(
+            lambda v, feats: self.model.apply(v, feats))
 
     def _forward(self, variables, buf, n):
         cfg = self.feat_cfg
@@ -128,6 +130,11 @@ class SpeakerPredictor:
             labels, probs = self._jit(self.variables, buf[None], n[None])
             return labels[0], probs[0]
         return self._jit(self.variables, buf, n)
+
+    def logits_from_features(self, feats):
+        """Forward on precomputed (B, 256, 39) features (post-time path
+        featurizes whole conversations in one pass and slices)."""
+        return self._logits_jit(self.variables, jnp.asarray(feats, jnp.float32))
 
     def lower_fn(self):
         return self._forward

@@ -1,0 +1,51 @@
+"""Experiment directory layout (reference `setup.py:7-29`).
+
+The reference imperatively creates the ``experiment/`` tree that every
+script assumes; sessions, logs, recordings and charts land in the same
+places here so downstream tooling keeps working.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+__all__ = ["ExperimentDirs", "bootstrap"]
+
+_SUBDIRS = [
+    "charts",
+    "logs",
+    "model",
+    "corpus",
+    "data",
+    "recordings",
+    "recordings/real-time",
+    "recordings/post-time",
+    "recordings/post-time/whole",
+    "recordings/post-time/standardized",
+    "recordings/post-time/segments",
+    "recordings/post-time/features",
+]
+
+
+class ExperimentDirs:
+    def __init__(self, root) -> None:
+        self.root = Path(root)
+        self.charts = self.root / "charts"
+        self.logs = self.root / "logs"
+        self.model = self.root / "model"
+        self.corpus = self.root / "corpus"
+        self.data = self.root / "data"
+        self.recordings = self.root / "recordings"
+        self.real_time = self.recordings / "real-time"
+        self.post_whole = self.recordings / "post-time" / "whole"
+        self.post_standardized = self.recordings / "post-time" / "standardized"
+        self.post_segments = self.recordings / "post-time" / "segments"
+        self.post_features = self.recordings / "post-time" / "features"
+        self.noise_path = self.root / "Ambient_Noise.wav"
+
+
+def bootstrap(root) -> ExperimentDirs:
+    root = Path(root)
+    for sub in _SUBDIRS:
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    return ExperimentDirs(root)

@@ -1,0 +1,17 @@
+from mmla_audio_tpu.vad.collector import (
+    apply_mask,
+    calibrate_threshold,
+    collect_mask,
+    energy_vad,
+    frame_count,
+    vad_trim,
+)
+
+__all__ = [
+    "apply_mask",
+    "calibrate_threshold",
+    "collect_mask",
+    "energy_vad",
+    "frame_count",
+    "vad_trim",
+]

@@ -1,0 +1,147 @@
+"""Post-time pipelines, standardization, segmentation, charts."""
+
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.analyze.charts import compute_distribution, visualize_log
+from mmla_audio_tpu.analyze.logs import SessionLog, parse_log
+from mmla_audio_tpu.analyze.post_time import (
+    overlap_post_analyze,
+    speaker_id_dict_from_corpus,
+    speaker_post_analyze,
+)
+from mmla_audio_tpu.core.config import (
+    OverlapModelConfig,
+    PipelineConfig,
+    SpeakerModelConfig,
+)
+from mmla_audio_tpu.data.standardize import (
+    apply_gain_dbfs,
+    resample,
+    segment_signal,
+    standardize_audio,
+)
+from mmla_audio_tpu.data.wavio import write_wav
+from mmla_audio_tpu.inference import OverlapPredictor, SpeakerPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.utils.experiment import bootstrap
+
+
+def test_resample_preserves_tone():
+    sr_in, sr_out = 48000, 16000
+    t = np.arange(sr_in) / sr_in
+    y = np.sin(2 * np.pi * 440 * t)
+    out = resample(y, sr_in, sr_out)
+    assert abs(len(out) - sr_out) <= 1
+    spec = np.abs(np.fft.rfft(out[:sr_out]))
+    assert abs(np.argmax(spec) - 440) <= 1
+
+
+def test_apply_gain_dbfs():
+    y = np.full(1000, 1000.0)
+    out = apply_gain_dbfs(y, -20.0)
+    rms = np.sqrt(np.mean(out ** 2))
+    np.testing.assert_allclose(20 * np.log10(rms / 32768.0), -20.0, atol=1e-6)
+
+
+def test_segment_signal_count_formula():
+    sr = 16000
+    y = np.arange(sr * 5)              # 5 s
+    segs = segment_signal(y, sr, 1.5, 1.5)
+    assert segs.shape == (3, 24000)    # int((80000-24000)/24000+1) = 3
+    np.testing.assert_array_equal(segs[1], y[24000:48000])
+    assert segment_signal(y[:100], sr, 1.5, 1.5).shape == (0, 24000)
+
+
+def test_standardize_roundtrip_rate_and_dtype():
+    sig = synth_speech_i16(48000 * 2, seed=0)
+    out = standardize_audio(sig, 48000)
+    assert out.dtype == np.int16
+    assert abs(len(out) - 32000) <= 2
+
+
+def test_standardize_with_denoise_and_trim():
+    rng = np.random.RandomState(0)
+    noise = (rng.randn(160000) * 30).astype(np.int16)
+    sig = np.concatenate([
+        (rng.randn(8000) * 30).astype(np.int16),          # silence
+        (synth_speech_i16(24000, seed=1) // 2),           # speech
+        (rng.randn(8000) * 30).astype(np.int16),
+    ])
+    out = standardize_audio(sig, 16000, noise=noise, noise_passes=1,
+                            silence_remove=True)
+    assert len(out) < len(sig)
+    assert len(out) > 0
+
+
+def _experiment_with_conversation(tmp_path, n_files=1, seconds=6):
+    dirs = bootstrap(tmp_path / "experiment")
+    for i in range(n_files):
+        sig = synth_speech_i16(16000 * seconds, seed=i)
+        write_wav(dirs.post_whole / f"audio_conv{i}.wav", sig)
+    return dirs
+
+
+def test_overlap_post_analyze_end_to_end(tmp_path):
+    dirs = _experiment_with_conversation(tmp_path)
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    noise = (np.random.RandomState(9).randn(160000) * 20).astype(np.int16)
+    logs = overlap_post_analyze(dirs, pred, noise=noise,
+                                start_time=datetime(2026, 1, 1))
+    assert len(logs) == 1
+    rows = parse_log(list(logs.values())[0])
+    assert len(rows) == 4              # 6 s / 1.5 s
+    assert all(r[1] in ("non-overlapped", "overlapped") for r in rows)
+    charts = list(dirs.charts.glob("*.html"))
+    assert len(charts) == 1
+    text = charts[0].read_text()
+    assert "<svg" in text and "Overlap Degree" in text
+
+
+def test_speaker_post_analyze_end_to_end(tmp_path):
+    dirs = _experiment_with_conversation(tmp_path, seconds=6)
+    # enrollment corpus defines the label names
+    write_wav(dirs.corpus / "alice.wav", synth_speech_i16(16000, seed=5))
+    write_wav(dirs.corpus / "bob.wav", synth_speech_i16(16000, seed=6))
+    sid = speaker_id_dict_from_corpus(dirs.corpus)
+    assert sid == {"0": "alice", "1": "bob"}
+
+    model = SpeakerResBLSTM(head_units=2)
+    pred = SpeakerPredictor(model.init_variables(jax.random.PRNGKey(0)),
+                            head_units=2, sigmoid_head=True)
+    logs = speaker_post_analyze(dirs, pred, speaker_id_dict=sid,
+                                start_time=datetime(2026, 1, 1))
+    rows = parse_log(list(logs.values())[0])
+    # 6 s -> 599 MFCC frames -> ceil(599/256) = 3 slices
+    assert len(rows) == 3
+    assert all(r[1] in ("alice", "bob", "silent") for r in rows)
+    # timestamps advance BEFORE each row: first row at +2.56 s
+    assert rows[0][2] == "2026-01-01 00:00:02.560000"
+
+
+def test_compute_distribution_counts_and_seconds():
+    rows = [(0, "a", "2026-01-01 00:00:00"),
+            (1, "b", "2026-01-01 00:00:10"),
+            (2, "a", "2026-01-01 00:00:20")]
+    labels, counts, seconds, seg_idx, offsets = compute_distribution(rows)
+    assert labels == ["a", "b"]
+    assert counts == [2, 1]
+    assert seconds == [13, 6]          # int(round(c/n, 4) * 20s), truncated
+    assert seg_idx == [0, 1, 0]
+    assert offsets == [0.0, 10.0, 20.0]
+
+
+def test_visualize_log_silent_only(tmp_path):
+    log = SessionLog(tmp_path / "x.txt", kind="overlap")
+    log.append("silent", datetime(2026, 1, 1, 0, 0, 0))
+    log.append("silent", datetime(2026, 1, 1, 0, 0, 2))
+    out = visualize_log(tmp_path / "x.txt", tmp_path / "charts")
+    assert out.exists()

@@ -1,0 +1,99 @@
+"""Overlap-corpus synthesis (reference `data_augmentation.py` semantics).
+
+Builds the overlap-detector training corpus from single-speaker clips:
+6,300 synthetic mixtures — i < 3150: 2 simultaneous speakers, < 5040: 3,
+< 5985: 4, else 5 — by overlaying clips at random 100 ms-grid offsets onto a
+<=1.5 s canvas (`generate_overlap_segment`, :20-34), labeled ``2`` =
+overlapped vs ``1`` = single-speaker (`run_overlap_features_generator`,
+:91-92).
+
+pydub ``overlay`` semantics: the overlay is added sample-wise into the canvas
+starting at ``position`` and truncated at the canvas end; int16 saturation.
+Mixing here is vectorized NumPy on the host (corpus prep is offline IO);
+featurization of the resulting corpus is the batched device path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, List, Sequence
+
+import numpy as np
+
+__all__ = ["MixturePlanEntry", "speaker_count_for_index", "overlay",
+           "make_mixture", "synthesize_corpus"]
+
+
+def speaker_count_for_index(i: int) -> int:
+    """data_augmentation.py:45-52."""
+    if i < 3150:
+        return 2
+    if i < 5040:
+        return 3
+    if i < 5985:
+        return 4
+    return 5
+
+
+def overlay(canvas: np.ndarray, sound: np.ndarray, position: int) -> np.ndarray:
+    """pydub AudioSegment.overlay: add ``sound`` into ``canvas`` at sample
+    ``position``; excess truncated; int16 saturation."""
+    out = canvas.astype(np.int32).copy()
+    room = len(canvas) - position
+    if room <= 0:
+        return canvas
+    seg = sound[:room].astype(np.int32)
+    out[position: position + len(seg)] += seg
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+def make_mixture(clips: Sequence[np.ndarray], rng: np.random.RandomState,
+                 sr: int = 16_000, canvas_seconds: float = 1.5) -> np.ndarray:
+    """generate_overlap_segment: canvas = clip0 truncated to <=1.5 s; each
+    further clip overlaid at ``randrange(duration_ds - 2) * 0.1 s``."""
+    canvas = np.asarray(clips[0], np.int16)
+    dur = min(canvas_seconds, len(canvas) / sr)
+    canvas = canvas[: int(dur * sr)]
+    for clip in clips[1:]:
+        hi = int(dur * 10) - 2
+        index_ms = (rng.randint(0, max(hi, 1))) * 100
+        canvas = overlay(canvas, np.asarray(clip, np.int16),
+                         int(index_ms * sr / 1000))
+    return canvas
+
+
+@dataclasses.dataclass
+class MixturePlanEntry:
+    index: int
+    speaker_ids: List[str]
+    label: int                      # 2 = overlapped (1 = single-speaker)
+
+
+def synthesize_corpus(clip_loader: Callable[[int, int], tuple[np.ndarray, str]],
+                      n_mixtures: int = 6300, n_speakers: int = 630,
+                      clips_per_speaker: int = 10, seed: int = 0,
+                      sr: int = 16_000,
+                      out_dir=None) -> List[MixturePlanEntry]:
+    """Build the mixture corpus.  ``clip_loader(speaker, sample) -> (int16
+    samples, speaker_id)`` abstracts the TIMIT layout.  If ``out_dir`` is
+    set, mixtures are written as ``Overlap<i>.wav``.  Returns the plan
+    (speaker ids + label per mixture) for the labels CSV."""
+    from mmla_audio_tpu.data.wavio import write_wav
+
+    rng = np.random.RandomState(seed)
+    plan = []
+    for i in range(n_mixtures):
+        k = speaker_count_for_index(i)
+        clips, ids = [], []
+        for _ in range(k):
+            sp = rng.randint(0, n_speakers)
+            sm = rng.randint(0, clips_per_speaker)
+            clip, sid = clip_loader(sp, sm)
+            clips.append(clip)
+            ids.append(sid)
+        mix = make_mixture(clips, rng, sr)
+        if out_dir is not None:
+            write_wav(Path(out_dir) / f"Overlap{i}.wav", mix, sr)
+        plan.append(MixturePlanEntry(i, ids, 2))
+    return plan

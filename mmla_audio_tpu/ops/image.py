@@ -1,0 +1,72 @@
+"""Image ops for feature-image augmentation (OpenCV pyrDown/pyrUp parity).
+
+The reference rebalances classes by repeatedly down/up-sampling feature PNGs
+with ``cv.pyrDown``/``cv.pyrUp`` (`overlap_detector.py:203-213`) — a blur
+ladder that keeps the label while perturbing the features.  Implemented as
+batched 5x5 separable Gaussian convolutions on device so the whole
+augmentation pass is one program over the training set, not a per-file
+OpenCV loop.
+
+Kernel: outer([1,4,6,4,1]/16); borders BORDER_REFLECT_101 (cv2 default);
+pyrUp zero-stuffs then blurs with 4x the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pyr_down", "pyr_up", "pyramid_augment"]
+
+_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _reflect101_pad(x: jnp.ndarray, pad: int, axes=(-3, -2)) -> jnp.ndarray:
+    cfg = [(0, 0)] * x.ndim
+    for ax in axes:
+        cfg[ax % x.ndim] = (pad, pad)
+    return jnp.pad(x, cfg, mode="reflect")   # np 'reflect' == REFLECT_101
+
+
+def _blur5(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """Separable 5x5 Gaussian on (..., H, W, C), reflect-101 borders."""
+    kh = jnp.asarray(_K5 * scale, jnp.float32)
+    xp = _reflect101_pad(x, 2, axes=(-3,))
+    rows = sum(kh[i] * xp[..., i: i + x.shape[-3], :, :] for i in range(5))
+    kw = jnp.asarray(_K5, jnp.float32)
+    rp = _reflect101_pad(rows, 2, axes=(-2,))
+    return sum(kw[i] * rp[..., :, i: i + x.shape[-2], :] for i in range(5))
+
+
+def pyr_down(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrDown: Gaussian blur then take every 2nd pixel.
+    (..., H, W, C) -> (..., ceil(H/2), ceil(W/2), C)."""
+    return _blur5(x)[..., ::2, ::2, :]
+
+
+def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrUp: zero-stuff 2x then blur with 4x kernel.
+    (..., H, W, C) -> (..., 2H, 2W, C)."""
+    H, W = x.shape[-3], x.shape[-2]
+    up = jnp.zeros(x.shape[:-3] + (2 * H, 2 * W) + x.shape[-1:], x.dtype)
+    up = up.at[..., ::2, ::2, :].set(x)
+    return _blur5(up, scale=4.0)
+
+
+def pyramid_augment(images: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """``depth`` rounds of pyrDown+pyrUp (the reference's `for j in range(i+1)`
+    ladder), then drop the last column (151 -> 76 -> 152 -> crop)."""
+    x = images
+    w0 = images.shape[-2]
+    for _ in range(depth):
+        x = pyr_up(pyr_down(x))
+        if x.shape[-2] > w0:
+            x = x[..., :, :w0, :]
+        # odd heights: pyrUp returns 2*ceil(H/2); crop back
+        if x.shape[-3] > images.shape[-3]:
+            x = x[..., : images.shape[-3], :, :]
+    # reference crops one column from the final image ([:, :-1])
+    return x[..., :, :-1, :]

@@ -1,0 +1,44 @@
+"""Structural similarity (SSIM) — the Pi runner's silence gate.
+
+`OverlapDetection/scripts/record_on_pi.py:39-48`: SSIM between the feature
+images of the raw vs denoised window, multichannel; similarity >= 0.3 means
+the window is (mostly) noise => silent.  Implemented with skimage defaults
+for uint8-scale images: 7x7 uniform windows, C1=(0.01*255)^2, C2=(0.03*255)^2,
+mean over all windows and channels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["ssim"]
+
+
+def _uniform7(x: jnp.ndarray) -> jnp.ndarray:
+    """7x7 mean filter, valid padding, over (..., H, W)."""
+    c = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    c = jnp.pad(c, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
+    w = 7
+    s = (c[..., w:, w:] - c[..., :-w, w:] - c[..., w:, :-w] + c[..., :-w, :-w])
+    return s / (w * w)
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 255.0) -> jnp.ndarray:
+    """Mean SSIM of (..., H, W, C) images (channels averaged, skimage
+    multichannel semantics with uniform windows)."""
+    a = jnp.moveaxis(a.astype(jnp.float32), -1, -3)   # (..., C, H, W)
+    b = jnp.moveaxis(b.astype(jnp.float32), -1, -3)
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    mu_a = _uniform7(a)
+    mu_b = _uniform7(b)
+    # skimage uses unbiased (n/(n-1)) moment estimates with uniform windows
+    n = 49.0
+    cov_norm = n / (n - 1.0)
+    var_a = cov_norm * (_uniform7(a * a) - mu_a * mu_a)
+    var_b = cov_norm * (_uniform7(b * b) - mu_b * mu_b)
+    cov = cov_norm * (_uniform7(a * b) - mu_a * mu_b)
+    num = (2 * mu_a * mu_b + C1) * (2 * cov + C2)
+    den = (mu_a ** 2 + mu_b ** 2 + C1) * (var_a + var_b + C2)
+    s = num / den
+    return jnp.mean(s, axis=(-3, -2, -1))

@@ -1,0 +1,109 @@
+"""Image pyramid ops vs OpenCV goldens; mixture synthesis; SSIM."""
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from mmla_audio_tpu.ops.image import pyr_down, pyr_up, pyramid_augment
+from mmla_audio_tpu.ops.ssim import ssim
+from mmla_audio_tpu.data.synth import (
+    make_mixture,
+    overlay,
+    speaker_count_for_index,
+    synthesize_corpus,
+)
+
+
+def _img(h=128, w=151, c=3, seed=0):
+    return np.random.RandomState(seed).rand(h, w, c).astype(np.float32) * 255
+
+
+def test_pyr_down_matches_cv2():
+    x = _img()
+    ours = np.asarray(pyr_down(jnp.asarray(x)))
+    ref = cv2.pyrDown(x)
+    assert ours.shape == ref.shape == (64, 76, 3)
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_pyr_up_matches_cv2():
+    x = _img(64, 76)
+    ours = np.asarray(pyr_up(jnp.asarray(x)))
+    ref = cv2.pyrUp(x)
+    assert ours.shape == ref.shape == (128, 152, 3)
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_pyramid_augment_matches_cv2_ladder():
+    x = _img()
+    for depth in (1, 2):
+        ours = np.asarray(pyramid_augment(jnp.asarray(x)[None], depth))[0]
+        src = x
+        for _ in range(depth):
+            src = cv2.pyrUp(cv2.pyrDown(src))[:, :151]
+        ref = src[:, :-1]
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5e-2)
+
+
+def test_pyramid_augment_batched():
+    xs = np.stack([_img(seed=s) for s in range(3)])
+    out = np.asarray(pyramid_augment(jnp.asarray(xs), 1))
+    assert out.shape == (3, 128, 150, 3)
+
+
+def test_ssim_identical_is_one():
+    x = _img()
+    s = float(ssim(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_ssim_noise_vs_denoised_discriminates():
+    # silent window: denoising noise changes little -> high SSIM;
+    # speech window: denoising changes the image -> lower SSIM
+    a = _img(seed=1)
+    slightly = a + np.random.RandomState(2).randn(*a.shape) * 2
+    very = a + np.random.RandomState(3).randn(*a.shape) * 60
+    s_hi = float(ssim(jnp.asarray(a), jnp.asarray(slightly)))
+    s_lo = float(ssim(jnp.asarray(a), jnp.asarray(very)))
+    assert s_hi > 0.8 > s_lo
+
+
+def test_speaker_count_schedule():
+    assert speaker_count_for_index(0) == 2
+    assert speaker_count_for_index(3149) == 2
+    assert speaker_count_for_index(3150) == 3
+    assert speaker_count_for_index(5039) == 3
+    assert speaker_count_for_index(5040) == 4
+    assert speaker_count_for_index(5984) == 4
+    assert speaker_count_for_index(5985) == 5
+    assert speaker_count_for_index(6299) == 5
+
+
+def test_overlay_adds_and_saturates():
+    canvas = np.full(100, 20000, np.int16)
+    sound = np.full(200, 20000, np.int16)
+    out = overlay(canvas, sound, 50)
+    assert out[49] == 20000
+    assert out[50] == 32767            # saturated
+    assert len(out) == 100             # truncated at canvas end
+
+
+def test_make_mixture_canvas_length():
+    rng = np.random.RandomState(0)
+    clips = [np.ones(40000, np.int16), np.ones(10000, np.int16)]
+    mix = make_mixture(clips, rng)
+    assert len(mix) == 24000           # 1.5 s canvas
+
+
+def test_synthesize_corpus_plan(tmp_path):
+    def loader(sp, sm):
+        rng = np.random.RandomState(sp * 100 + sm)
+        return (rng.randn(30000) * 3000).astype(np.int16), f"S{sp}"
+
+    plan = synthesize_corpus(loader, n_mixtures=12, n_speakers=5,
+                             clips_per_speaker=3, out_dir=tmp_path)
+    assert len(plan) == 12
+    assert all(e.label == 2 for e in plan)
+    assert all(len(e.speaker_ids) == 2 for e in plan)   # all i < 3150
+    assert len(list(tmp_path.glob("Overlap*.wav"))) == 12

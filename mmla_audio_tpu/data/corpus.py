@@ -1,0 +1,81 @@
+"""Enrolled-corpus featurization (`make_feature_experiment`,
+`speaker_identification.py:317-369`).
+
+Each ``experiment/corpus/<name>.wav`` (a VAD-trimmed ~60 s enrollment clip)
+is featurized in one MFCC pass and sliced into ``ceil(T / 256)`` windows of
+(256, 39), zero-padded at the tail; every window carries the speaker's
+one-hot label.  Label indices follow first-appearance order over the sorted
+file list (the reference's ``binarizer``), and ``speaker_id_dict`` maps
+``str(argmax index) -> name``.
+
+Also covers ``make_feature_timit`` (base-training features: one 256-frame
+window per clip) via ``featurize_clips``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import SpeakerFeatureConfig
+from mmla_audio_tpu.data.wavio import read_wav
+from mmla_audio_tpu.ops.mfcc import mfcc39
+
+__all__ = ["featurize_corpus", "featurize_clips", "one_hot_first_appearance"]
+
+
+def one_hot_first_appearance(labels: Sequence[str], dim: int | None = None
+                             ) -> Tuple[np.ndarray, Dict[str, str]]:
+    """binarizer semantics (speaker_identification.py:121-138): class index =
+    first-appearance order.  Returns (one-hot (N, dim), {index: label})."""
+    index: Dict[str, int] = {}
+    for lab in labels:
+        if lab not in index:
+            index[lab] = len(index)
+    dim = dim or len(index)
+    y = np.zeros((len(labels), dim), np.float32)
+    for i, lab in enumerate(labels):
+        y[i, index[lab]] = 1.0
+    id_dict = {str(v): k for k, v in index.items()}
+    return y, id_dict
+
+
+def featurize_corpus(corpus_dir, cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
+                     ) -> Tuple[np.ndarray, np.ndarray, Dict[str, str]]:
+    """-> (x (N, 256, 39), y one-hot (N, n_speakers), speaker_id_dict)."""
+    xs: List[np.ndarray] = []
+    labels: List[str] = []
+    for path in sorted(Path(corpus_dir).glob("*.wav")):
+        sig, _ = read_wav(path)
+        feats = np.asarray(mfcc39(jnp.asarray(sig.astype(np.float32))))
+        T = feats.shape[0]
+        n_slices = -(-T // cfg.max_frames)
+        feats = np.concatenate(
+            [feats, np.zeros((n_slices * cfg.max_frames - T, cfg.feat_dim),
+                             np.float32)])
+        for i in range(n_slices):
+            xs.append(feats[i * cfg.max_frames:(i + 1) * cfg.max_frames])
+            labels.append(path.stem)
+    assert xs, f"no wav files in {corpus_dir}"
+    y, id_dict = one_hot_first_appearance(labels)
+    return np.stack(xs), y, id_dict
+
+
+def featurize_clips(clips: Sequence[np.ndarray], labels: Sequence[str],
+                    dim: int | None = None,
+                    cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
+                    ) -> Tuple[np.ndarray, np.ndarray, Dict[str, str]]:
+    """make_feature_timit: one (256, 39) window per clip (truncate/pad)."""
+    xs = []
+    for sig in clips:
+        feats = np.asarray(mfcc39(jnp.asarray(np.asarray(sig, np.float32))))
+        if feats.shape[0] < cfg.max_frames:
+            feats = np.concatenate(
+                [feats, np.zeros((cfg.max_frames - feats.shape[0],
+                                  cfg.feat_dim), np.float32)])
+        xs.append(feats[: cfg.max_frames])
+    y, id_dict = one_hot_first_appearance(labels, dim)
+    return np.stack(xs), y, id_dict

@@ -1,0 +1,171 @@
+"""Capture sources: the host edge of the pipeline.
+
+``CaptureSource`` is the one protocol the sessions need: blocking
+``read(n) -> int16[n]``.  ``PyAudioSource`` wraps a real microphone when
+pyaudio exists (the reference's L0, `record_on_pc.py:46-71`);
+``FakePCMSource`` is the deterministic test/headless backend the reference
+never had (SURVEY §4 calls it out as required for testability);
+``ArraySource`` replays a prerecorded buffer.
+
+A ``CaptureThread`` pumps any source into the native ring buffer so capture
+jitter never blocks the device-feeding session loop.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from mmla_audio_tpu.core.config import AudioConfig
+from mmla_audio_tpu.streaming.native import make_ring
+
+__all__ = ["FakePCMSource", "ArraySource", "PyAudioSource", "CaptureThread"]
+
+
+class FakePCMSource:
+    """Deterministic speech-like PCM: tones with drifting pitch + noise, with
+    optional silent gaps; optionally paced to real time."""
+
+    def __init__(self, cfg: AudioConfig = AudioConfig(), seed: int = 0,
+                 speech_ratio: float = 0.7, realtime: bool = False,
+                 amplitude: int = 8000):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.realtime = realtime
+        self.speech_ratio = speech_ratio
+        self.amplitude = amplitude
+        self._phase = 0.0
+        self._freq = 200.0
+        self._seg_left = 0
+        self._speaking = True
+
+    def read(self, n: int) -> np.ndarray:
+        sr = self.cfg.sample_rate
+        out = np.zeros(n, np.float64)
+        i = 0
+        while i < n:
+            if self._seg_left <= 0:
+                self._speaking = self.rng.rand() < self.speech_ratio
+                self._seg_left = int(self.rng.uniform(0.3, 1.5) * sr)
+                self._freq = self.rng.uniform(100, 1500)
+            k = min(self._seg_left, n - i)
+            if self._speaking:
+                t = np.arange(k)
+                phase = self._phase + 2 * np.pi * self._freq * t / sr
+                out[i: i + k] = np.sin(phase) + 0.1 * self.rng.randn(k)
+                self._phase = float(phase[-1] % (2 * np.pi))
+            else:
+                out[i: i + k] = 0.003 * self.rng.randn(k)
+            i += k
+            self._seg_left -= k
+        if self.realtime:
+            time.sleep(n / sr)
+        return (out * self.amplitude).astype(np.int16)
+
+
+class ArraySource:
+    """Replay a prerecorded int16 buffer (zero-fill past the end)."""
+
+    def __init__(self, samples: np.ndarray, realtime: bool = False,
+                 sample_rate: int = 16_000):
+        self.samples = np.asarray(samples, np.int16)
+        self.pos = 0
+        self.realtime = realtime
+        self.sample_rate = sample_rate
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.samples)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.int16)
+        k = min(n, max(len(self.samples) - self.pos, 0))
+        if k:
+            out[:k] = self.samples[self.pos: self.pos + k]
+        self.pos += n
+        if self.realtime:
+            time.sleep(n / self.sample_rate)
+        return out
+
+
+class PyAudioSource:
+    """Real microphone via PyAudio (int16 mono), with the reference's
+    suspend/resume semantics (`record_on_pi.py:139-159`).  Import-gated:
+    raises at construction when pyaudio is absent."""
+
+    def __init__(self, cfg: AudioConfig = AudioConfig(), device_index=None):
+        import pyaudio  # noqa: import-gated dependency
+
+        self.cfg = cfg
+        self._pa = pyaudio.PyAudio()
+        self._kwargs = dict(
+            format=pyaudio.paInt16, channels=cfg.channels,
+            rate=cfg.sample_rate, input=True,
+            frames_per_buffer=cfg.chunk_samples,
+            input_device_index=device_index)
+        self._stream = self._pa.open(**self._kwargs)
+
+    def read(self, n: int) -> np.ndarray:
+        data = self._stream.read(n, exception_on_overflow=False)
+        return np.frombuffer(data, np.int16).copy()
+
+    def suspend(self) -> None:
+        self._stream.stop_stream()
+        self._stream.close()
+
+    def resume(self) -> None:
+        self._stream = self._pa.open(**self._kwargs)
+
+    def close(self) -> None:
+        try:
+            self._stream.stop_stream()
+            self._stream.close()
+        finally:
+            self._pa.terminate()
+
+
+class CaptureThread:
+    """Producer thread: source.read(chunk) -> ring buffer, until stopped."""
+
+    def __init__(self, source, cfg: AudioConfig = AudioConfig(),
+                 ring_seconds: float = 30.0):
+        self.source = source
+        self.cfg = cfg
+        self.ring = make_ring(int(ring_seconds * cfg.sample_rate))
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self):
+        while not self._stop.is_set():
+            chunk = self.source.read(self.cfg.chunk_samples)
+            self.ring.push(chunk)
+            if getattr(self.source, "exhausted", False):
+                break
+
+    def read_window(self, n_samples: int, timeout: float = 10.0
+                    ) -> Optional[np.ndarray]:
+        """Block until a whole window is available (or timeout/EOF)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            out = self.ring.pop(n_samples)
+            if out is not None:
+                return out
+            if (getattr(self.source, "exhausted", False)
+                    and self.ring.available < n_samples):
+                tail = self.ring.pop_upto(n_samples)
+                return tail if len(tail) else None
+            time.sleep(0.001)
+        return None
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)

@@ -1,0 +1,193 @@
+"""ctypes bindings to the native host runtime (ring buffer + WAV IO).
+
+The shared library is built lazily with ``make`` on first use; everything has
+a pure-Python fallback so the framework works before/without the toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["load_native", "NativeRingBuffer", "PyRingBuffer", "make_ring"]
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libmmla_host.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def load_native():
+    """Load (building if needed) libmmla_host.so; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _LIB_PATH.exists():
+            try:
+                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.rb_create.restype = ctypes.c_void_p
+        lib.rb_create.argtypes = [ctypes.c_uint64]
+        lib.rb_destroy.argtypes = [ctypes.c_void_p]
+        for name in ("rb_capacity", "rb_available", "rb_overruns", "rb_underruns"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p]
+        for name in ("rb_push", "rb_pop", "rb_pop_upto"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p,
+                           ctypes.POINTER(ctypes.c_int16), ctypes.c_uint64]
+        lib.rb_clear.argtypes = [ctypes.c_void_p]
+        lib.wav_read.restype = ctypes.c_int64
+        lib.wav_read.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+                                 ctypes.POINTER(ctypes.c_int32)]
+        lib.wav_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+        lib.wav_write.restype = ctypes.c_int32
+        lib.wav_write.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int16),
+                                  ctypes.c_int64, ctypes.c_int32]
+        _lib = lib
+        return _lib
+
+
+class NativeRingBuffer:
+    """SPSC int16 ring buffer backed by the C++ implementation."""
+
+    def __init__(self, capacity: int):
+        self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._ptr = self._lib.rb_create(capacity)
+        if not self._ptr:
+            raise MemoryError("rb_create failed")
+
+    def __del__(self):
+        if getattr(self, "_ptr", None) and self._lib is not None:
+            self._lib.rb_destroy(self._ptr)
+            self._ptr = None
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.rb_capacity(self._ptr)
+
+    @property
+    def available(self) -> int:
+        return self._lib.rb_available(self._ptr)
+
+    @property
+    def overruns(self) -> int:
+        return self._lib.rb_overruns(self._ptr)
+
+    @property
+    def underruns(self) -> int:
+        return self._lib.rb_underruns(self._ptr)
+
+    def push(self, samples: np.ndarray) -> int:
+        samples = np.ascontiguousarray(samples, np.int16)
+        return self._lib.rb_push(
+            self._ptr, samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            len(samples))
+
+    def pop(self, n: int) -> np.ndarray | None:
+        out = np.empty(n, np.int16)
+        got = self._lib.rb_pop(
+            self._ptr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+        return out if got == n else None
+
+    def pop_upto(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.int16)
+        got = self._lib.rb_pop_upto(
+            self._ptr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+        return out[:got]
+
+    def clear(self) -> None:
+        self._lib.rb_clear(self._ptr)
+
+
+class PyRingBuffer:
+    """Pure-Python fallback with the same interface (lock-based)."""
+
+    def __init__(self, capacity: int):
+        cap = 1
+        while cap < capacity:
+            cap <<= 1
+        self._buf = np.zeros(cap, np.int16)
+        self._cap = cap
+        self._head = 0
+        self._tail = 0
+        self.overruns = 0
+        self.underruns = 0
+        self._lock = threading.Lock()
+
+    @property
+    def capacity(self):
+        return self._cap
+
+    @property
+    def available(self):
+        return self._head - self._tail
+
+    def push(self, samples) -> int:
+        samples = np.asarray(samples, np.int16)
+        with self._lock:
+            free = self._cap - (self._head - self._tail)
+            n = min(len(samples), free)
+            if n < len(samples):
+                self.overruns += len(samples) - n
+            pos = self._head & (self._cap - 1)
+            first = min(n, self._cap - pos)
+            self._buf[pos: pos + first] = samples[:first]
+            if n > first:
+                self._buf[: n - first] = samples[first:n]
+            self._head += n
+            return n
+
+    def pop(self, n: int):
+        with self._lock:
+            if self._head - self._tail < n:
+                self.underruns += 1
+                return None
+            pos = self._tail & (self._cap - 1)
+            first = min(n, self._cap - pos)
+            out = np.empty(n, np.int16)
+            out[:first] = self._buf[pos: pos + first]
+            if n > first:
+                out[first:] = self._buf[: n - first]
+            self._tail += n
+            return out
+
+    def pop_upto(self, n: int):
+        with self._lock:
+            avail = self._head - self._tail
+        got = min(n, avail)
+        if got == 0:
+            return np.empty(0, np.int16)
+        return self.pop(got) if got else np.empty(0, np.int16)
+
+    def clear(self):
+        with self._lock:
+            self._tail = self._head
+
+
+def make_ring(capacity: int):
+    """Native if buildable, Python otherwise."""
+    try:
+        return NativeRingBuffer(capacity)
+    except (RuntimeError, MemoryError):
+        return PyRingBuffer(capacity)

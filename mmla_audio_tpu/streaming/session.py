@@ -1,0 +1,268 @@
+"""Live streaming sessions: capture -> one fused device program -> TSV log.
+
+The reference's live loops (`record_on_pc.py:84-177` OD, `:74-155` SI) write
+each window to disk 2-3 times (WAV, denoised WAV, PNG) between every stage.
+Here the whole per-window decision is ONE jitted program:
+
+    raw int16 window (2.56 s)
+      -> /32768 -> stationary denoise (session noise profile)
+      -> int16 re-quantization (the WAV write the reference does)
+      -> 30 ms framing -> energy VAD -> hysteresis collect -> trim
+      -> silent gate (< 4000 samples)
+      -> featurize (ZCR image | MFCC39) -> model -> label
+
+Sessions also reproduce the surrounding behavior: 10 s ambient calibration
+(threshold + denoise profile + Ambient_Noise.wav artifact), per-session log
+under ``experiment/logs/<timestamp>.txt``, optional window recordings under
+``experiment/recordings/real-time/<timestamp>/wav``, suspend/resume, and the
+speaker registration flow (60 s enrollment clips -> corpus -> on-TPU
+transfer-learn until accuracy >= 0.80 -> identify).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
+from mmla_audio_tpu.core.config import PipelineConfig
+from mmla_audio_tpu.data.wavio import write_wav
+from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
+from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature
+from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
+from mmla_audio_tpu.vad import calibrate_threshold, collect_mask, energy_vad, vad_trim
+from mmla_audio_tpu.vad.collector import frame_count
+
+__all__ = ["session_stamp", "StreamingSession", "OverlapSession",
+           "SpeakerSession"]
+
+
+def session_stamp(now: Optional[datetime] = None) -> str:
+    """Reference log/dir naming: str(datetime.now()) with ' '/':' -> '-',
+    micros stripped (`record_on_pc.py:103`)."""
+    s = str(now or datetime.now())[:-7]
+    return s.replace(" ", "-").replace(":", "-")
+
+
+def _quantize_i16(y: jnp.ndarray) -> jnp.ndarray:
+    """soundfile float->PCM16 write: scale, round, clip (the reference writes
+    the denoised window to WAV and re-reads it as int16)."""
+    return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
+
+
+class StreamingSession:
+    """Shared mechanics: calibration, fused window program, logging."""
+
+    kind = "overlap"
+
+    def __init__(self, capture, dirs: ExperimentDirs | str,
+                 cfg: PipelineConfig = PipelineConfig(),
+                 save_recordings: bool = False,
+                 now: Optional[datetime] = None):
+        self.capture = capture
+        self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
+        self.cfg = cfg
+        self.save_recordings = save_recordings
+        stamp = session_stamp(now)
+        self.log = SessionLog(self.dirs.logs / f"{stamp}.txt", kind=self.kind,
+                              start_index=1)
+        self.rec_dir = self.dirs.real_time / stamp / "wav"
+        if save_recordings:
+            self.rec_dir.mkdir(parents=True, exist_ok=True)
+        self.noise_thresh = None
+        self.vad_threshold_db = 30.0
+        self._count = 0
+
+    # -- calibration ---------------------------------------------------------
+    def calibrate(self, seconds: Optional[float] = None) -> None:
+        """10 s ambient-noise recording -> denoise profile + VAD threshold +
+        Ambient_Noise.wav artifact (`record_on_pc.py:299-322`)."""
+        sr = self.cfg.audio.sample_rate
+        n = int((seconds or self.cfg.audio.noise_profile_seconds) * sr)
+        chunks = []
+        got = 0
+        while got < n:
+            w = self.capture.read_window(min(n - got, sr), timeout=30.0)
+            if w is None:
+                break
+            chunks.append(w)
+            got += len(w)
+        noise = (np.concatenate(chunks) if chunks
+                 else np.zeros(n, np.int16))[:n]
+        write_wav(self.dirs.noise_path, noise, sr)
+        self.set_noise_profile(noise)
+
+    def set_noise_profile(self, noise_i16: np.ndarray) -> None:
+        nf = noise_i16.astype(np.float32) / 32768.0
+        self.noise_thresh = noise_threshold(jnp.asarray(nf), self.cfg.denoise)
+        self.vad_threshold_db = calibrate_threshold(
+            noise_i16, self.cfg.vad.aggressiveness)
+
+    # -- fused device program --------------------------------------------------
+    def _preprocess(self, raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
+                    vad_thr: jnp.ndarray):
+        """denoise -> quantize -> VAD trim.  Returns (trimmed int16-scale
+        float buffer, valid count)."""
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+        y = raw_i16f / 32768.0
+        y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
+                         passes=cfg.denoise.passes_live)
+        i16 = _quantize_i16(y)
+        frame_len = int(sr * cfg.vad.frame_ms / 1000)
+        T = frame_count(i16.shape[-1], frame_len)
+        frames = i16[: T * frame_len].reshape(T, frame_len)
+        decisions = energy_vad(frames, vad_thr)
+        trimmed, n_out = vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
+                                  frame_len, cfg.vad.ring_frames)
+        return trimmed, n_out
+
+    # -- loop -------------------------------------------------------------------
+    def run(self, max_windows: Optional[int] = None,
+            on_result: Optional[Callable] = None) -> list:
+        """Consume windows until EOF/max_windows; returns [(idx, label, ts)]."""
+        assert self.noise_thresh is not None, "calibrate() first"
+        results = []
+        n_win = self.cfg.audio.window_samples
+        try:
+            while max_windows is None or len(results) < max_windows:
+                window = self.capture.read_window(n_win, timeout=30.0)
+                if window is None:
+                    break
+                label, prob = self.process_window(window)
+                ts = datetime.today()
+                idx = self.log.append(label, ts)
+                if self.save_recordings:
+                    write_wav(self.rec_dir / f"{idx}.wav", window,
+                              self.cfg.audio.sample_rate)
+                results.append((idx, label, ts))
+                if on_result is not None:
+                    on_result(idx, label, prob)
+        except KeyboardInterrupt:
+            pass
+        return results
+
+    def process_window(self, window_i16: np.ndarray):
+        raise NotImplementedError
+
+
+class OverlapSession(StreamingSession):
+    kind = "overlap"
+
+    def __init__(self, predictor, capture, dirs, **kw):
+        super().__init__(capture, dirs, **kw)
+        self.predictor = predictor
+        cfg = self.cfg
+
+        def fused(variables, raw, noise_thresh, vad_thr):
+            trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
+            img = overlap_model_input(
+                jnp.where(jnp.arange(trimmed.shape[-1]) < n_out, trimmed, 0.0)
+                [: cfg.overlap_feature.n_samples] / 32768.0,
+                cfg.overlap_feature)
+            logits = self.predictor.model.apply(variables, img[None])
+            probs = jax.nn.softmax(logits, axis=-1)[0]
+            label = jnp.argmax(probs).astype(jnp.int32)
+            silent = n_out < cfg.vad.silent_samples
+            return jnp.where(silent, -1, label), probs, n_out
+
+        self._fused = jax.jit(fused)
+
+    def process_window(self, window_i16: np.ndarray):
+        label, probs, _ = self._fused(
+            self.predictor.variables,
+            jnp.asarray(window_i16.astype(np.float32)),
+            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+        label = int(label)
+        name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
+        return name, np.asarray(probs)
+
+
+class SpeakerSession(StreamingSession):
+    kind = "speaker"
+
+    def __init__(self, predictor, capture, dirs,
+                 speaker_id_dict: Optional[Dict[str, str]] = None, **kw):
+        super().__init__(capture, dirs, **kw)
+        self.predictor = predictor
+        self.speaker_id_dict = speaker_id_dict or {}
+        self._rebuild_fused()
+
+    def process_window(self, window_i16: np.ndarray):
+        label, probs, _ = self._fused(
+            self.predictor.variables,
+            jnp.asarray(window_i16.astype(np.float32)),
+            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+        label = int(label)
+        name = "silent" if label < 0 else \
+            self.speaker_id_dict.get(str(label), str(label))
+        return name, np.asarray(probs)
+
+    # -- registration ------------------------------------------------------------
+    def register_speaker(self, name: str,
+                         seconds: Optional[float] = None) -> Path:
+        """One enrollment: capture ~60 s, denoise + VAD trim, write
+        ``experiment/corpus/<name>.wav`` (`record_on_pc.py:299-328`)."""
+        assert self.noise_thresh is not None, "calibrate() first"
+        sr = self.cfg.audio.sample_rate
+        n = int((seconds or self.cfg.audio.enroll_seconds) * sr)
+        chunks, got = [], 0
+        while got < n:
+            w = self.capture.read_window(min(n - got, sr), timeout=60.0)
+            if w is None:
+                break
+            chunks.append(w)
+            got += len(w)
+        raw = (np.concatenate(chunks) if chunks else np.zeros(n, np.int16))[:n]
+        trimmed, n_out = self._preprocess(
+            jnp.asarray(raw.astype(np.float32)), self.noise_thresh,
+            jnp.asarray(self.vad_threshold_db, jnp.float32))
+        out = np.asarray(trimmed[: int(n_out)]).astype(np.int16)
+        path = self.dirs.corpus / f"{name}.wav"
+        write_wav(path, out, sr)
+        return path
+
+    def train_on_registered(self, base_variables, seed: int = 0,
+                            epochs_override=None):
+        """Featurize the corpus + transfer-learn until the accuracy gate;
+        installs the new head into this session's predictor
+        (`transfer_learning_on_experiment` + retrain loop)."""
+        from mmla_audio_tpu.data.corpus import featurize_corpus
+        from mmla_audio_tpu.inference import SpeakerPredictor
+        from mmla_audio_tpu.train.transfer import TransferLearner
+
+        x, y, sid = featurize_corpus(self.dirs.corpus,
+                                     cfg=self.cfg.speaker_feature)
+        learner = TransferLearner(base_variables, n_speakers=y.shape[1],
+                                  model_cfg=self.cfg.speaker_model,
+                                  cfg=self.cfg.transfer)
+        variables, acc, losses = learner.fit_until_gate(
+            x, y, seed=seed, epochs_override=epochs_override)
+        self.speaker_id_dict = sid
+        (self.dirs.root / "speaker_id_dict.json").write_text(json.dumps(sid))
+        self.predictor = SpeakerPredictor(
+            variables, self.cfg.speaker_model, self.cfg.speaker_feature,
+            head_units=y.shape[1], sigmoid_head=True)
+        self._rebuild_fused()   # new head -> new fused program
+        return acc
+
+    def _rebuild_fused(self):
+        cfg = self.cfg
+
+        def fused(variables, raw, noise_thresh, vad_thr):
+            trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
+            feats, _ = speaker_feature(trimmed, n_out, cfg.speaker_feature)
+            logits = self.predictor.model.apply(variables, feats[None])
+            probs = (jax.nn.sigmoid(logits)[0] if self.predictor.sigmoid_head
+                     else jax.nn.softmax(logits, axis=-1)[0])
+            label = jnp.argmax(logits[0]).astype(jnp.int32)
+            silent = n_out < cfg.speaker_feature.silent_samples
+            return jnp.where(silent, -1, label), probs, n_out
+
+        self._fused = jax.jit(fused)

@@ -1,0 +1,186 @@
+"""Streaming runtime: ring buffers (native + Python), capture, sessions."""
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.analyze.logs import parse_log
+from mmla_audio_tpu.core.config import (
+    PipelineConfig,
+    SpeakerModelConfig,
+    TransferConfig,
+)
+from mmla_audio_tpu.inference import OverlapPredictor, SpeakerPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread, FakePCMSource
+from mmla_audio_tpu.streaming.native import (
+    NativeRingBuffer,
+    PyRingBuffer,
+    load_native,
+)
+from mmla_audio_tpu.streaming.session import OverlapSession, SpeakerSession, session_stamp
+
+
+@pytest.fixture(params=["native", "python"])
+def ring(request):
+    if request.param == "native":
+        if load_native() is None:
+            pytest.skip("native lib unavailable")
+        return NativeRingBuffer(1 << 14)
+    return PyRingBuffer(1 << 14)
+
+
+def test_ring_push_pop_roundtrip(ring):
+    data = np.arange(1000, dtype=np.int16)
+    assert ring.push(data) == 1000
+    assert ring.available == 1000
+    out = ring.pop(1000)
+    np.testing.assert_array_equal(out, data)
+    assert ring.available == 0
+
+
+def test_ring_pop_insufficient_counts_underrun(ring):
+    ring.push(np.ones(10, np.int16))
+    assert ring.pop(100) is None
+    assert ring.underruns == 1
+
+
+def test_ring_wraparound(ring):
+    cap = ring.capacity
+    chunk = np.arange(cap // 2, dtype=np.int16)
+    for _ in range(5):
+        assert ring.push(chunk) == len(chunk)
+        out = ring.pop(len(chunk))
+        np.testing.assert_array_equal(out, chunk)
+
+
+def test_ring_overrun_drops_and_counts(ring):
+    cap = ring.capacity
+    big = np.zeros(cap + 100, np.int16)
+    wrote = ring.push(big)
+    assert wrote == cap
+    assert ring.overruns == 100
+
+
+def test_native_wav_roundtrip(tmp_path):
+    lib = load_native()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    import ctypes
+    sig = synth_speech_i16(12345, seed=0)
+    p = str(tmp_path / "n.wav").encode()
+    arr = np.ascontiguousarray(sig)
+    assert lib.wav_write(p, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                         len(sig), 16000) == 0
+    out_ptr = ctypes.POINTER(ctypes.c_int16)()
+    rate = ctypes.c_int32()
+    n = lib.wav_read(p, ctypes.byref(out_ptr), ctypes.byref(rate))
+    assert n == len(sig) and rate.value == 16000
+    back = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    lib.wav_free(out_ptr)
+    np.testing.assert_array_equal(back, sig)
+    # cross-check against the stdlib reader
+    from mmla_audio_tpu.data.wavio import read_wav
+    std, r2 = read_wav(tmp_path / "n.wav")
+    np.testing.assert_array_equal(std, sig)
+
+
+def test_capture_thread_windows():
+    src = ArraySource(synth_speech_i16(40960 * 3, seed=1))
+    cap = CaptureThread(src).start()
+    w1 = cap.read_window(40960)
+    w2 = cap.read_window(40960)
+    cap.stop()
+    assert w1 is not None and w2 is not None
+    np.testing.assert_array_equal(np.concatenate([w1, w2]),
+                                  src.samples[:81920])
+
+
+def test_fake_source_deterministic():
+    a = FakePCMSource(seed=7).read(16000)
+    b = FakePCMSource(seed=7).read(16000)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.int16
+
+
+def test_session_stamp_format():
+    from datetime import datetime
+    s = session_stamp(datetime(2026, 1, 2, 3, 4, 5, 123456))
+    assert s == "2026-01-02-03-04-05"
+
+
+def _run_overlap_session(tmp_path, samples, seed=0):
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(seed)))
+    src = ArraySource(samples)
+    cap = CaptureThread(src).start()
+    sess = OverlapSession(pred, cap, tmp_path / "experiment",
+                          save_recordings=True)
+    noise = (np.random.RandomState(3).randn(160000) * 20).astype(np.int16)
+    sess.set_noise_profile(noise)
+    results = sess.run(max_windows=3)
+    cap.stop()
+    return sess, results
+
+
+def test_overlap_session_end_to_end(tmp_path):
+    samples = np.concatenate([
+        synth_speech_i16(40960, seed=1),
+        np.zeros(40960, np.int16),                  # silent window
+        synth_speech_i16(40960, seed=2),
+    ])
+    sess, results = _run_overlap_session(tmp_path, samples)
+    assert len(results) == 3
+    labels = [r[1] for r in results]
+    assert labels[1] == "silent"
+    assert all(l in ("non-overlapped", "overlapped", "silent") for l in labels)
+    rows = parse_log(sess.log.path)
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert [r[1] for r in rows] == labels
+    # recordings dumped per window
+    assert sorted(p.name for p in sess.rec_dir.glob("*.wav")) == \
+        ["1.wav", "2.wav", "3.wav"]
+    # Ambient noise artifact only written by calibrate(); not in this path
+
+
+def test_speaker_session_registration_and_identify(tmp_path):
+    cfg = PipelineConfig(
+        speaker_model=SpeakerModelConfig(stage_filters=(8, 8, 8),
+                                         lstm_units=16, num_speakers=20),
+        transfer=TransferConfig(phase1_epochs=30, phase1_lr=3e-3,
+                                phase2_epochs=0, max_retrain_rounds=1,
+                                accuracy_gate=0.0),
+    )
+    base = SpeakerResBLSTM(cfg.speaker_model)
+    base_vars = base.init_variables(jax.random.PRNGKey(0))
+    pred = SpeakerPredictor(base_vars, cfg.speaker_model)
+
+    # enrollment audio: two speakers with very different spectra
+    alice = synth_speech_i16(16000 * 8, seed=10)
+    bob = (synth_speech_i16(16000 * 8, seed=20) // 4)
+    src = ArraySource(np.concatenate([alice, bob]))
+    cap = CaptureThread(src).start()
+    sess = SpeakerSession(pred, cap, tmp_path / "experiment", cfg=cfg)
+    noise = (np.random.RandomState(4).randn(160000) * 5).astype(np.int16)
+    sess.set_noise_profile(noise)
+
+    sess.register_speaker("alice", seconds=8)
+    sess.register_speaker("bob", seconds=8)
+    corpus = sorted(p.name for p in sess.dirs.corpus.glob("*.wav"))
+    assert corpus == ["alice.wav", "bob.wav"]
+
+    acc = sess.train_on_registered(base_vars, seed=0)
+    assert set(sess.speaker_id_dict.values()) == {"alice", "bob"}
+    assert (sess.dirs.root / "speaker_id_dict.json").exists()
+
+    cap.stop()
+    src2 = ArraySource(synth_speech_i16(40960 * 2, seed=10))
+    cap2 = CaptureThread(src2).start()
+    sess.capture = cap2
+    results = sess.run(max_windows=2)
+    cap2.stop()
+    assert len(results) == 2
+    assert all(r[1] in ("alice", "bob", "silent") for r in results)

@@ -1,0 +1,79 @@
+"""Checkpointing: Orbax save/load of model variables + training state.
+
+Replaces the reference's SavedModel exports and Keras ModelCheckpoint
+(`overlap_detector.py:412-415, 448-457`; `speaker_identification.py:241-243`)
+with Orbax checkpoints; ``save_best`` mirrors best-only-on-val-accuracy, and
+``continue_train`` resumes from a saved state (`continue_train_model`,
+`overlap_detector.py:480-511`).  Enrolled-corpus features are cached like the
+reference's ``experiment_feature.npz`` (`speaker_identification.py:485-489`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_variables", "load_variables", "BestCheckpointer",
+           "save_feature_cache", "load_feature_cache"]
+
+
+def save_variables(path, variables: Dict[str, Any],
+                   metadata: Optional[dict] = None) -> None:
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "variables", jax.tree_util.tree_map(np.asarray, variables),
+               force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        (path / "metadata.json").write_text(json.dumps(metadata))
+
+
+def load_variables(path, template: Optional[Dict[str, Any]] = None
+                   ) -> Dict[str, Any]:
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path / "variables", target=template)
+    return ckptr.restore(path / "variables")
+
+
+class BestCheckpointer:
+    """Keras ModelCheckpoint(save_best_only=True, monitor=val acc, mode=max)."""
+
+    def __init__(self, path, monitor_mode: str = "max"):
+        self.path = Path(path)
+        self.mode = monitor_mode
+        self.best: Optional[float] = None
+
+    def update(self, metric: float, variables: Dict[str, Any],
+               metadata: Optional[dict] = None) -> bool:
+        better = (self.best is None
+                  or (metric > self.best if self.mode == "max"
+                      else metric < self.best))
+        if better:
+            self.best = float(metric)
+            meta = dict(metadata or {})
+            meta["best_metric"] = self.best
+            save_variables(self.path, variables, meta)
+        return better
+
+
+def save_feature_cache(path, x: np.ndarray, y: np.ndarray,
+                       speaker_id_dict: Dict[str, str]) -> None:
+    """experiment_feature.npz + speaker_id_dict.json equivalents."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, x=x, y=y)
+    path.with_suffix(".json").write_text(json.dumps(speaker_id_dict))
+
+
+def load_feature_cache(path):
+    path = Path(path)
+    data = np.load(path.with_suffix(".npz") if path.suffix != ".npz" else path)
+    sid = json.loads(path.with_suffix(".json").read_text())
+    return data["x"], data["y"], sid

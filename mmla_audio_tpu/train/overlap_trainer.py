@@ -1,0 +1,198 @@
+"""Overlap-detector training orchestration (the `OverlapDetector` class role).
+
+Covers `overlap_detector.py`'s workflow on device: stratified 5-fold
+train/test split (fold 0), class-weight computation, optional image-pyramid
+class rebalancing, weighted-CCE Adadelta training with cosine annealing +
+early stopping + best checkpointing, continue-training, and evaluation with
+a confusion matrix (`evaluation`, :513-543).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmla_audio_tpu.core.config import OverlapModelConfig, OverlapTrainConfig
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.ops.image import pyramid_augment
+from mmla_audio_tpu.train.checkpoints import BestCheckpointer, load_variables
+from mmla_audio_tpu.train.losses import (
+    cal_weighted_penalty,
+    keras_categorical_crossentropy,
+    weighted_categorical_crossentropy,
+)
+from mmla_audio_tpu.train.optimizers import adadelta
+from mmla_audio_tpu.train.schedules import cosine_annealing
+from mmla_audio_tpu.train.trainer import Trainer, TrainState
+
+__all__ = ["stratified_kfold_indices", "augment_to_balance", "confusion_matrix",
+           "OverlapTrainer"]
+
+
+def stratified_kfold_indices(labels: np.ndarray, n_splits: int = 5,
+                             seed: int = 0, fold: int = 0
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """sklearn StratifiedKFold(shuffle=True, random_state=0) semantics: per
+    class, shuffled indices dealt round-robin into folds; fold k is test.
+    The reference uses fold 0 only (`overlap_detector.py:274-275`)."""
+    rng = np.random.RandomState(seed)
+    labels = np.asarray(labels)
+    fold_of = np.empty(len(labels), np.int32)
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        for i, j in enumerate(idx):
+            fold_of[j] = i % n_splits
+    test_mask = fold_of == fold
+    return np.where(~test_mask)[0], np.where(test_mask)[0]
+
+
+def augment_to_balance(x: np.ndarray, y_onehot: np.ndarray, rng_seed: int = 0
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Class rebalancing via the pyramid ladder (`augment_images`,
+    overlap_detector.py:142-225): each minority class is duplicated
+    ``round(max_count / count - 1)`` times, copy i blurred through i+1
+    pyrDown/pyrUp rounds.  Returns augmented (x, y) incl. originals.
+
+    The reference crops one column per augmented image; we keep the width by
+    re-padding the cropped column with the last column so all tensors stay
+    (128, 151, 3) for batching (the crop exists only because cv2.pyrUp
+    rounds odd sizes; the content shift is preserved)."""
+    counts = y_onehot.sum(axis=0)
+    base = counts.max()
+    xs = [x]
+    ys = [y_onehot]
+    for c in range(y_onehot.shape[1]):
+        if counts[c] == 0:
+            continue
+        ratio = int(round(base / counts[c] - 1))
+        cls = np.where(y_onehot[:, c] == 1)[0]
+        for i in range(ratio):
+            aug = np.asarray(pyramid_augment(jnp.asarray(x[cls]), i + 1))
+            aug = np.concatenate([aug, aug[..., :, -1:, :]], axis=-2)
+            xs.append(aug.astype(x.dtype))
+            ys.append(y_onehot[cls])
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def confusion_matrix(y_true_idx: np.ndarray, y_pred_idx: np.ndarray,
+                     n_classes: int) -> np.ndarray:
+    m = np.zeros((n_classes, n_classes), np.int64)
+    for t, p in zip(y_true_idx, y_pred_idx):
+        m[t, p] += 1
+    return m
+
+
+class OverlapTrainer:
+    """train_model / continue_train_model / evaluation, TPU-style."""
+
+    def __init__(self, model_cfg: OverlapModelConfig = OverlapModelConfig(),
+                 train_cfg: OverlapTrainConfig = OverlapTrainConfig()):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.model = OverlapResBLSTM(model_cfg)
+
+    def _make_trainer(self, weights: Optional[np.ndarray]):
+        sched = cosine_annealing(self.cfg.cosine_t_max, self.cfg.cosine_eta_max,
+                                 self.cfg.cosine_eta_min)
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: adadelta(learning_rate))(
+                learning_rate=self.cfg.lr)
+        if weights is not None:
+            w = jnp.asarray(weights, jnp.float32)
+            loss_fn = lambda lg, y: weighted_categorical_crossentropy(lg, y, w)
+        else:
+            loss_fn = keras_categorical_crossentropy
+        trainer = Trainer(self.model, tx, loss_fn)
+        return trainer, sched
+
+    def train(self, x: np.ndarray, y_onehot: np.ndarray, *,
+              weighted: bool = True, augmented: bool = False,
+              epochs: Optional[int] = None, batch_size: Optional[int] = None,
+              checkpoint_dir=None, seed: int = 0, verbose: bool = False):
+        """Full train_model flow.  Returns (state, history, test split)."""
+        labels = np.argmax(y_onehot, axis=1)
+        train_idx, test_idx = stratified_kfold_indices(labels, 5, seed=0)
+        x_train, y_train = x[train_idx], y_onehot[train_idx]
+        x_test, y_test = x[test_idx], y_onehot[test_idx]
+        if augmented:
+            x_train, y_train = augment_to_balance(x_train, y_train)
+        weights = cal_weighted_penalty(y_train) if weighted else None
+        trainer, sched = self._make_trainer(weights)
+        variables = self.model.init_variables(jax.random.PRNGKey(seed),
+                                              input_shape=x.shape[1:])
+        state = trainer.init_state(variables)
+        ckpt = BestCheckpointer(checkpoint_dir) if checkpoint_dir else None
+
+        def lr_epoch(e):
+            return float(sched(e))
+
+        # fit with early stopping on the test(=val) split, best checkpointing
+        history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
+        best_val = np.inf
+        patience = self.cfg.early_stop_patience
+        rng = jax.random.PRNGKey(seed + 1)
+        n_epochs = epochs or self.cfg.epochs
+        bsz = batch_size or self.cfg.batch_size
+        for epoch in range(n_epochs):
+            state, h = trainer.fit(state, x_train, y_train, epochs=1,
+                                   batch_size=bsz,
+                                   lr_schedule_epoch=lambda _: lr_epoch(epoch),
+                                   rng=jax.random.fold_in(rng, epoch))[0:2]
+            vl, va = trainer.evaluate(state, x_test, y_test)
+            history["loss"].append(h["loss"][0])
+            history["acc"].append(h["acc"][0])
+            history["val_loss"].append(vl)
+            history["val_acc"].append(va)
+            if verbose:
+                print(f"epoch {epoch}: loss={h['loss'][0]:.4f} val_acc={va:.4f}")
+            if ckpt is not None:
+                ckpt.update(va, trainer.variables_of(state),
+                            {"epoch": epoch, "val_loss": vl})
+            if vl < best_val:
+                best_val, patience = vl, self.cfg.early_stop_patience
+            else:
+                patience -= 1
+                if patience <= 0:
+                    break
+        self._trainer = trainer
+        return state, history, (x_test, y_test)
+
+    def continue_train(self, checkpoint_dir, x, y_onehot, *,
+                       weighted: bool = True, epochs: int = 10,
+                       batch_size: Optional[int] = None, seed: int = 0):
+        """continue_train_model: restore variables, keep training."""
+        weights = cal_weighted_penalty(y_onehot) if weighted else None
+        trainer, sched = self._make_trainer(weights)
+        template = self.model.init_variables(jax.random.PRNGKey(0),
+                                             input_shape=x.shape[1:])
+        variables = load_variables(checkpoint_dir, template)
+        state = trainer.init_state(variables)
+        state, history = trainer.fit(
+            state, x, y_onehot, epochs=epochs,
+            batch_size=batch_size or self.cfg.batch_size,
+            rng=jax.random.PRNGKey(seed))
+        self._trainer = trainer
+        return state, history
+
+    def evaluation(self, state: TrainState, x, y_onehot
+                   ) -> Dict[str, np.ndarray | float]:
+        """Confusion matrix + recall/precision (`evaluation`, :513-543)."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = self.model.apply(variables, jnp.asarray(x, jnp.float32))
+        pred = np.argmax(np.asarray(logits), axis=1)
+        true = np.argmax(np.asarray(y_onehot), axis=1)
+        n = y_onehot.shape[1]
+        cm = confusion_matrix(true, pred, n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            recall = np.diag(cm) / cm.sum(axis=1)
+            precision = np.diag(cm) / cm.sum(axis=0)
+        return {"confusion": cm, "recall": recall, "precision": precision,
+                "accuracy": float((pred == true).mean())}

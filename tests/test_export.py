@@ -1,0 +1,54 @@
+"""Deployment export + eager/compiled parity (tfl_convert equivalent)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapModelConfig
+from mmla_audio_tpu.export import aot_compile, export_serving, load_serving, parity_check
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+
+
+def test_export_load_roundtrip(tmp_path):
+    cfg = OverlapModelConfig(stage_filters=(4, 4, 8), lstm_units=8)
+    model = OverlapResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    export_serving(tmp_path / "bundle", v, input_shape=(1, 128, 151, 3),
+                   model_name="overlap")
+    back, meta = load_serving(tmp_path / "bundle", v)
+    assert meta["model"] == "overlap"
+    assert meta["input_shape"] == [1, 128, 151, 3]
+    x = jnp.zeros((1, 128, 151, 3))
+    np.testing.assert_allclose(np.asarray(model.apply(v, x)),
+                               np.asarray(model.apply(back, x)), atol=0)
+
+
+def test_aot_parity_check():
+    cfg = OverlapModelConfig(stage_filters=(4, 4, 8), lstm_units=8)
+    model = OverlapResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+
+    def serve(x):
+        return model.apply(v, x)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 128, 151, 3) * 255,
+                    jnp.float32)
+    compiled = aot_compile(serve, x)
+    parity_check(serve, compiled, (x,))
+
+
+def test_parity_check_catches_mismatch():
+    def eager(x):
+        return x
+
+    def other(x):
+        return -x
+
+    compiled = aot_compile(other, jnp.ones((2, 3)))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3), jnp.float32)
+    try:
+        parity_check(eager, compiled, (x,))
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised

@@ -1,0 +1,121 @@
+"""Overlap trainer orchestration: kfold, balancing, checkpoints, eval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import OverlapModelConfig, OverlapTrainConfig
+from mmla_audio_tpu.train.checkpoints import (
+    BestCheckpointer,
+    load_feature_cache,
+    load_variables,
+    save_feature_cache,
+    save_variables,
+)
+from mmla_audio_tpu.train.overlap_trainer import (
+    OverlapTrainer,
+    augment_to_balance,
+    confusion_matrix,
+    stratified_kfold_indices,
+)
+
+
+def test_stratified_kfold_properties():
+    labels = np.array([0] * 50 + [1] * 30 + [2] * 20)
+    train, test = stratified_kfold_indices(labels, 5, seed=0, fold=0)
+    assert len(train) + len(test) == 100
+    assert len(set(train) & set(test)) == 0
+    # per-class 1/5 in test (within rounding)
+    for c, total in [(0, 50), (1, 30), (2, 20)]:
+        in_test = (labels[test] == c).sum()
+        assert abs(in_test - total / 5) <= 1
+    # different folds partition the data
+    all_test = set()
+    for f in range(5):
+        _, tf = stratified_kfold_indices(labels, 5, seed=0, fold=f)
+        all_test |= set(tf)
+    assert all_test == set(range(100))
+
+
+def _toy_images(n0=20, n1=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x0 = rng.rand(n0, 32, 39, 3).astype(np.float32) * 255
+    x1 = rng.rand(n1, 32, 39, 3).astype(np.float32) * 255
+    x1[:, :8] += 100  # separable signal
+    x = np.concatenate([x0, x1])
+    y = np.zeros((n0 + n1, 2), np.float32)
+    y[:n0, 0] = 1
+    y[n0:, 1] = 1
+    return x, y
+
+
+def test_augment_to_balance_counts():
+    x, y = _toy_images(20, 8)
+    xa, ya = augment_to_balance(x, y)
+    c = ya.sum(axis=0)
+    # class 1 duplicated round(20/8 - 1)=2 times: 8 + 16 = 24
+    assert c[0] == 20 and c[1] == 24
+    assert xa.shape[1:] == x.shape[1:]
+
+
+def test_confusion_matrix():
+    cm = confusion_matrix(np.array([0, 0, 1, 2]), np.array([0, 1, 1, 2]), 3)
+    np.testing.assert_array_equal(cm, [[1, 1, 0], [0, 1, 0], [0, 0, 1]])
+
+
+def test_overlap_trainer_end_to_end(tmp_path):
+    x, y = _toy_images(30, 20, seed=1)
+    t = OverlapTrainer(
+        OverlapModelConfig(stage_filters=(4, 4, 8), lstm_units=8,
+                           num_classes=2),
+        OverlapTrainConfig(epochs=3, batch_size=8, early_stop_patience=5))
+    state, history, (x_test, y_test) = t.train(
+        x, y, weighted=True, augmented=False,
+        checkpoint_dir=tmp_path / "ckpt", seed=0)
+    assert len(history["loss"]) <= 3
+    assert np.isfinite(history["loss"]).all()
+    ev = t.evaluation(state, x_test, y_test)
+    assert ev["confusion"].sum() == len(x_test)
+    assert 0.0 <= ev["accuracy"] <= 1.0
+
+    # checkpoint written and loadable; continue training from it
+    state2, hist2 = t.continue_train(tmp_path / "ckpt", x, y, epochs=1,
+                                     batch_size=8)
+    assert np.isfinite(hist2["loss"]).all()
+
+
+def test_save_load_variables_roundtrip(tmp_path):
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+    from mmla_audio_tpu.core.config import SpeakerModelConfig
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=5)
+    m = SpeakerResBLSTM(cfg)
+    v = m.init_variables(jax.random.PRNGKey(0))
+    save_variables(tmp_path / "m", v, {"note": "test"})
+    back = load_variables(tmp_path / "m", v)
+    for (p1, a), (p2, b) in zip(jax.tree_util.tree_leaves_with_path(v),
+                                jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_checkpointer_keeps_best(tmp_path):
+    ck = BestCheckpointer(tmp_path / "best")
+    v1 = {"params": {"w": np.array([1.0])}}
+    v2 = {"params": {"w": np.array([2.0])}}
+    v3 = {"params": {"w": np.array([3.0])}}
+    assert ck.update(0.5, v1)
+    assert ck.update(0.8, v2)
+    assert not ck.update(0.6, v3)      # worse: not saved
+    back = load_variables(tmp_path / "best", v1)
+    np.testing.assert_array_equal(back["params"]["w"], [2.0])
+
+
+def test_feature_cache_roundtrip(tmp_path):
+    x = np.random.RandomState(0).rand(4, 256, 39).astype(np.float32)
+    y = np.eye(4, dtype=np.float32)
+    sid = {"0": "alice", "1": "bob"}
+    save_feature_cache(tmp_path / "experiment_feature", x, y, sid)
+    x2, y2, sid2 = load_feature_cache(tmp_path / "experiment_feature")
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+    assert sid2 == sid

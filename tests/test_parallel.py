@@ -1,0 +1,94 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmla_audio_tpu.core.config import OverlapModelConfig
+from mmla_audio_tpu.inference import OverlapPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.parallel import (
+    DataParallel,
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_shard_batch_places_on_axis():
+    mesh = make_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_data_parallel_inference_matches_single_device():
+    cfg = OverlapModelConfig(stage_filters=(4, 4, 8), lstm_units=8)
+    model = OverlapResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables, cfg)
+
+    rng = np.random.RandomState(0)
+    buf = (rng.randn(16, 40960) * 3000).astype(np.float32)
+    n = np.full(16, 40960, np.int32)
+
+    labels_1, probs_1 = pred.predict(buf, n)
+
+    mesh = make_mesh()
+    dp = DataParallel(pred.lower_fn(), mesh)
+    labels_8, probs_8 = dp(variables, jnp.asarray(buf), jnp.asarray(n))
+
+    np.testing.assert_array_equal(np.asarray(labels_1), np.asarray(labels_8))
+    np.testing.assert_allclose(np.asarray(probs_1), np.asarray(probs_8),
+                               atol=2e-5)
+
+
+def test_data_parallel_gradient_allreduce():
+    """Sharded-batch gradients must equal single-device gradients (XLA
+    inserts the ICI all-reduce automatically)."""
+    mesh = make_mesh()
+
+    def loss_fn(w, x, y):
+        pred = x @ w
+        return jnp.mean((pred - y) ** 2)
+
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(8, 1).astype(np.float32))
+    x = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    y = jnp.asarray(rng.randn(32, 1).astype(np.float32))
+
+    g_single = jax.grad(loss_fn)(w, x, y)
+
+    gfn = jax.jit(jax.grad(loss_fn))
+    g_sharded = gfn(replicate_tree(w, mesh), shard_batch(x, mesh),
+                    shard_batch(y, mesh))
+    np.testing.assert_allclose(np.asarray(g_single), np.asarray(g_sharded),
+                               atol=1e-6)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    labels, probs = out
+    assert labels.shape == (8,)
+    assert probs.shape == (8, 2)

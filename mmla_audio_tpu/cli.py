@@ -1,0 +1,324 @@
+"""Command-line entry points (the reference's scripts, unified).
+
+    python -m mmla_audio_tpu.cli setup --root experiment
+    python -m mmla_audio_tpu.cli overlap-live   [--fake] [--windows N]
+    python -m mmla_audio_tpu.cli speaker-live   [--fake] [--register NAME ...]
+    python -m mmla_audio_tpu.cli overlap-post   --root experiment
+    python -m mmla_audio_tpu.cli speaker-post   --root experiment
+    python -m mmla_audio_tpu.cli overlap-run    -f clip.wav [--ckpt DIR]
+    python -m mmla_audio_tpu.cli synth-corpus   --wav-dir D --out-dir O
+    python -m mmla_audio_tpu.cli charts         --root experiment
+
+Maps to: `record_on_pc.py main()` (both subsystems), the post-processing
+scripts, `overlap_detector_run.py` (offline file runner with timings),
+`data_augmentation.py`, `setup.py`, and the distribution visualizers.
+``--fake`` substitutes the deterministic PCM source so every flow runs
+headless (the reference required a live microphone).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _predictor_overlap(ckpt, cfg):
+    import jax
+
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.train.checkpoints import load_variables
+
+    model = OverlapResBLSTM(cfg.overlap_model)
+    template = model.init_variables(jax.random.PRNGKey(0))
+    variables = load_variables(ckpt, template) if ckpt else template
+    if not ckpt:
+        print("[WARN] no --ckpt given: using random-init weights")
+    return OverlapPredictor(variables, cfg.overlap_model, cfg.overlap_feature)
+
+
+def _predictor_speaker(ckpt, cfg, head_units=None, sigmoid=False):
+    import jax
+
+    from mmla_audio_tpu.inference import SpeakerPredictor
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+    from mmla_audio_tpu.train.checkpoints import load_variables
+
+    model = SpeakerResBLSTM(cfg.speaker_model, head_units=head_units)
+    template = model.init_variables(jax.random.PRNGKey(0))
+    variables = load_variables(ckpt, template) if ckpt else template
+    if not ckpt:
+        print("[WARN] no --ckpt given: using random-init weights")
+    return SpeakerPredictor(variables, cfg.speaker_model, cfg.speaker_feature,
+                            head_units=head_units, sigmoid_head=sigmoid)
+
+
+def _capture(args, cfg):
+    from mmla_audio_tpu.streaming.capture import (
+        CaptureThread,
+        FakePCMSource,
+        PyAudioSource,
+    )
+
+    if args.fake:
+        src = FakePCMSource(cfg.audio, seed=args.seed,
+                            realtime=args.realtime)
+    else:
+        src = PyAudioSource(cfg.audio)
+    return CaptureThread(src, cfg.audio).start()
+
+
+def cmd_setup(args):
+    from mmla_audio_tpu.utils.experiment import bootstrap
+
+    dirs = bootstrap(args.root)
+    print(f"[INFO] experiment tree ready under {dirs.root}")
+
+
+def cmd_overlap_live(args):
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.streaming.session import OverlapSession
+
+    cfg = PipelineConfig()
+    pred = _predictor_overlap(args.ckpt, cfg)
+    cap = _capture(args, cfg)
+    sess = OverlapSession(pred, cap, args.root, cfg=cfg,
+                          save_recordings=args.save_recordings)
+    print("[INFO] calibrating ambient noise "
+          f"({cfg.audio.noise_profile_seconds:.0f}s)...")
+    sess.calibrate(args.calibrate_seconds)
+    print("[INFO] model loaded: start predicting...")
+
+    def show(idx, label, prob):
+        print(f"[INFO] window {idx}: {label}  (probs {np.round(prob, 3)})")
+
+    sess.run(max_windows=args.windows, on_result=show)
+    cap.stop()
+    print(f"[INFO] log: {sess.log.path}")
+
+
+def cmd_speaker_live(args):
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.streaming.session import SpeakerSession
+
+    cfg = PipelineConfig()
+    pred = _predictor_speaker(args.ckpt, cfg)
+    cap = _capture(args, cfg)
+    sess = SpeakerSession(pred, cap, args.root, cfg=cfg)
+    print("[INFO] calibrating ambient noise...")
+    sess.calibrate(args.calibrate_seconds)
+
+    if args.register:
+        import jax
+
+        from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+        from mmla_audio_tpu.train.checkpoints import load_variables
+
+        for name in args.register:
+            print(f"[INFO] registering '{name}' "
+                  f"({args.enroll_seconds or cfg.audio.enroll_seconds:.0f}s)...")
+            sess.register_speaker(name, seconds=args.enroll_seconds)
+        model = SpeakerResBLSTM(cfg.speaker_model)
+        template = model.init_variables(jax.random.PRNGKey(0))
+        base = load_variables(args.ckpt, template) if args.ckpt else template
+        print("[INFO] transfer-learning on registered corpus (on device)...")
+        override = None
+        if args.phase1_epochs is not None or args.phase2_epochs is not None:
+            override = (args.phase1_epochs or cfg.transfer.phase1_epochs,
+                        args.phase2_epochs if args.phase2_epochs is not None
+                        else cfg.transfer.phase2_epochs)
+        acc = sess.train_on_registered(base, epochs_override=override)
+        print(f"[INFO] registration accuracy: {acc:.3f}")
+
+    def show(idx, label, prob):
+        print(f"[INFO] window {idx}: {label}")
+
+    sess.run(max_windows=args.windows, on_result=show)
+    cap.stop()
+    print(f"[INFO] log: {sess.log.path}")
+
+
+def cmd_overlap_post(args):
+    from mmla_audio_tpu.analyze.post_time import overlap_post_analyze
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.data.wavio import read_wav
+    from mmla_audio_tpu.utils.experiment import bootstrap
+
+    cfg = PipelineConfig()
+    dirs = bootstrap(args.root)
+    noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
+    pred = _predictor_overlap(args.ckpt, cfg)
+    logs = overlap_post_analyze(dirs, pred, cfg=cfg, noise=noise)
+    for name, log in logs.items():
+        print(f"[INFO] {name}: {log}")
+
+
+def cmd_speaker_post(args):
+    from mmla_audio_tpu.analyze.post_time import speaker_post_analyze
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.data.wavio import read_wav
+    from mmla_audio_tpu.utils.experiment import bootstrap
+
+    cfg = PipelineConfig()
+    dirs = bootstrap(args.root)
+    noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
+    n_speakers = len(list(dirs.corpus.glob("*.wav"))) or None
+    pred = _predictor_speaker(args.ckpt, cfg, head_units=n_speakers,
+                              sigmoid=n_speakers is not None)
+    logs = speaker_post_analyze(dirs, pred, cfg=cfg, noise=noise)
+    for name, log in logs.items():
+        print(f"[INFO] {name}: {log}")
+
+
+def cmd_overlap_run(args):
+    """overlap_detector_run.py: offline file(s) with timings + AOT parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.data.wavio import read_wav
+    from mmla_audio_tpu.export import aot_compile, parity_check
+    from mmla_audio_tpu.utils.timers import StageTimer
+
+    cfg = PipelineConfig()
+    timer = StageTimer()
+    with timer.stage("model_load"):
+        pred = _predictor_overlap(args.ckpt, cfg)
+
+    paths = [Path(args.file)] if args.file else \
+        sorted(Path(args.dir).glob("*.wav"))
+    bufs, counts = [], []
+    with timer.stage("wav_load"):
+        for p in paths:
+            sig, _ = read_wav(p)
+            buf = np.zeros(cfg.audio.window_samples, np.float32)
+            k = min(len(sig), len(buf))
+            buf[:k] = sig[:k]
+            bufs.append(buf)
+            counts.append(k)
+    bufs = np.stack(bufs)
+    counts = np.asarray(counts, np.int32)
+
+    with timer.stage("predict_compile_and_run"):
+        labels, probs = pred.predict(bufs, counts)
+        labels = np.asarray(labels)
+    with timer.stage("predict_steady"):
+        labels2, _ = pred.predict(bufs, counts)
+        np.asarray(labels2)
+
+    if args.parity:
+        fwd = pred.lower_fn()
+        compiled = aot_compile(fwd, pred.variables, jnp.asarray(bufs),
+                               jnp.asarray(counts))
+        parity_check(lambda v, b, n: fwd(v, b, n)[1],
+                     lambda v, b, n: compiled(v, b, n)[1],
+                     (pred.variables, jnp.asarray(bufs), jnp.asarray(counts)))
+        print("[INFO] AOT parity check passed")
+
+    from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS
+    for p, lab in zip(paths, labels):
+        name = "silent" if lab < 0 else OVERLAP_LABELS[str(int(lab))]
+        print(f"[RESULT] {p.name}: {name}")
+    for stage, s in timer.summary().items():
+        print(f"[TIME] {stage}: {s['mean_ms']:.1f} ms")
+
+
+def cmd_synth_corpus(args):
+    from mmla_audio_tpu.data.synth import synthesize_corpus
+    from mmla_audio_tpu.data.timit import TimitCatalog
+
+    catalog = TimitCatalog.from_flat_dir(args.wav_dir) if not args.labels_csv \
+        else TimitCatalog.from_labels_csv(args.labels_csv, args.wav_dir)
+    plan = synthesize_corpus(
+        catalog.clip_loader, n_mixtures=args.n_mixtures,
+        n_speakers=catalog.n_speakers, out_dir=args.out_dir, seed=args.seed)
+    import csv as _csv
+    with open(Path(args.out_dir) / "augmented_labels.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["index", "speaker_ids", "overlap_degree"])
+        for e in plan:
+            w.writerow([e.index, "_".join(e.speaker_ids), e.label])
+    print(f"[INFO] wrote {len(plan)} mixtures to {args.out_dir}")
+
+
+def cmd_charts(args):
+    from mmla_audio_tpu.analyze.charts import visualize_all
+    from mmla_audio_tpu.utils.experiment import ExperimentDirs
+
+    dirs = ExperimentDirs(args.root)
+    outs = visualize_all(dirs.logs, dirs.charts, kind=args.kind)
+    for o in outs:
+        print(f"[INFO] {o}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mmla_audio_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, live=False):
+        p.add_argument("--root", default="experiment")
+        p.add_argument("--ckpt", default=None)
+        if live:
+            p.add_argument("--fake", action="store_true",
+                           help="deterministic PCM source instead of microphone")
+            p.add_argument("--seed", type=int, default=0)
+            p.add_argument("--realtime", action="store_true")
+            p.add_argument("--windows", type=int, default=None)
+            p.add_argument("--calibrate-seconds", type=float, default=None)
+            p.add_argument("--save-recordings", action="store_true")
+
+    p = sub.add_parser("setup")
+    p.add_argument("--root", default="experiment")
+    p.set_defaults(fn=cmd_setup)
+
+    p = sub.add_parser("overlap-live")
+    common(p, live=True)
+    p.set_defaults(fn=cmd_overlap_live)
+
+    p = sub.add_parser("speaker-live")
+    common(p, live=True)
+    p.add_argument("--register", nargs="*", default=None)
+    p.add_argument("--enroll-seconds", type=float, default=None)
+    p.add_argument("--phase1-epochs", type=int, default=None)
+    p.add_argument("--phase2-epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_speaker_live)
+
+    p = sub.add_parser("overlap-post")
+    common(p)
+    p.set_defaults(fn=cmd_overlap_post)
+
+    p = sub.add_parser("speaker-post")
+    common(p)
+    p.set_defaults(fn=cmd_speaker_post)
+
+    p = sub.add_parser("overlap-run")
+    common(p)
+    p.add_argument("-f", "--file", default=None)
+    p.add_argument("-dir", "--dir", default=None)
+    p.add_argument("--parity", action="store_true")
+    p.set_defaults(fn=cmd_overlap_run)
+
+    p = sub.add_parser("synth-corpus")
+    p.add_argument("--wav-dir", required=True)
+    p.add_argument("--labels-csv", default=None)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--n-mixtures", type=int, default=6300)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth_corpus)
+
+    p = sub.add_parser("charts")
+    p.add_argument("--root", default="experiment")
+    p.add_argument("--kind", default="overlap", choices=["overlap", "speaker"])
+    p.set_defaults(fn=cmd_charts)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

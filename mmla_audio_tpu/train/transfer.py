@@ -49,10 +49,17 @@ def train_val_split(x: np.ndarray, y: np.ndarray, val_ratio: float, seed: int):
     for c in np.unique(classes):
         idx = np.where(classes == c)[0]
         rng.shuffle(idx)
-        n_val = max(1, int(round(len(idx) * val_ratio)))
+        if len(idx) == 1:
+            # too few windows to split: the lone window serves both sides
+            # (the reference's sklearn split would simply error here)
+            train_idx.extend(idx)
+            val_idx.extend(idx)
+            continue
+        n_val = min(max(1, int(round(len(idx) * val_ratio))), len(idx) - 1)
         val_idx.extend(idx[:n_val])
         train_idx.extend(idx[n_val:])
-    train_idx, val_idx = np.array(train_idx), np.array(val_idx)
+    train_idx = np.array(train_idx, dtype=np.int64)
+    val_idx = np.array(val_idx, dtype=np.int64)
     rng.shuffle(train_idx)
     rng.shuffle(val_idx)
     return x[train_idx], y[train_idx], x[val_idx], y[val_idx]

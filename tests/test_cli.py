@@ -1,0 +1,76 @@
+"""CLI smoke tests (headless via --fake / generated fixtures)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu import cli
+from mmla_audio_tpu.data.wavio import write_wav
+
+
+def test_setup(tmp_path, capsys):
+    cli.main(["setup", "--root", str(tmp_path / "experiment")])
+    assert (tmp_path / "experiment" / "logs").is_dir()
+    assert (tmp_path / "experiment" / "recordings" / "post-time" / "whole").is_dir()
+
+
+def test_overlap_live_fake(tmp_path, capsys):
+    cli.main(["overlap-live", "--fake", "--windows", "2",
+              "--calibrate-seconds", "2",
+              "--root", str(tmp_path / "experiment")])
+    out = capsys.readouterr().out
+    assert "window 1:" in out and "window 2:" in out
+    logs = list((tmp_path / "experiment" / "logs").glob("*.txt"))
+    assert len(logs) == 1
+    assert (tmp_path / "experiment" / "Ambient_Noise.wav").exists()
+
+
+def test_overlap_run_file(tmp_path, capsys):
+    wav = tmp_path / "clip.wav"
+    write_wav(wav, synth_speech_i16(40960, seed=3))
+    cli.main(["overlap-run", "-f", str(wav), "--parity",
+              "--root", str(tmp_path / "experiment")])
+    out = capsys.readouterr().out
+    assert "[RESULT] clip.wav:" in out
+    assert "AOT parity check passed" in out
+    assert "[TIME]" in out
+
+
+def test_overlap_post_cli(tmp_path, capsys):
+    root = tmp_path / "experiment"
+    cli.main(["setup", "--root", str(root)])
+    write_wav(root / "recordings" / "post-time" / "whole" / "audio_a.wav",
+              synth_speech_i16(16000 * 3, seed=1))
+    write_wav(root / "Ambient_Noise.wav",
+              (np.random.RandomState(0).randn(160000) * 20).astype(np.int16))
+    cli.main(["overlap-post", "--root", str(root)])
+    assert (root / "logs" / "audio_a.txt").exists()
+    assert (root / "charts" / "audio_a.html").exists()
+
+
+def test_synth_corpus_cli(tmp_path, capsys):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for sp in range(3):
+        for k in range(2):
+            write_wav(wav_dir / f"S{sp}_{k}.wav",
+                      synth_speech_i16(20000, seed=sp * 10 + k))
+    out_dir = tmp_path / "mix"
+    out_dir.mkdir()
+    cli.main(["synth-corpus", "--wav-dir", str(wav_dir),
+              "--out-dir", str(out_dir), "--n-mixtures", "5"])
+    assert len(list(out_dir.glob("Overlap*.wav"))) == 5
+    assert (out_dir / "augmented_labels.csv").exists()
+
+
+def test_speaker_live_fake_with_registration(tmp_path, capsys):
+    cli.main(["speaker-live", "--fake", "--windows", "1",
+              "--calibrate-seconds", "1",
+              "--register", "alice", "bob",
+              "--enroll-seconds", "4",
+              "--phase1-epochs", "2", "--phase2-epochs", "0",
+              "--root", str(tmp_path / "experiment")])
+    out = capsys.readouterr().out
+    assert "registration accuracy" in out
+    assert (tmp_path / "experiment" / "speaker_id_dict.json").exists()

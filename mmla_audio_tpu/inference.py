@@ -58,19 +58,37 @@ class OverlapPredictor:
 
     def __init__(self, variables: Dict[str, Any],
                  model_cfg: OverlapModelConfig = OverlapModelConfig(),
-                 feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig()):
+                 feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig(),
+                 compute_dtype=None, use_pallas: bool = False):
+        """``compute_dtype=jnp.bfloat16`` runs the model forward in bf16
+        (params cast at trace time; DSP stays f32 for feature parity) —
+        ~1.4x faster on TPU.  ``use_pallas`` swaps the featurizer for the
+        fused VMEM kernel."""
         self.model = OverlapResBLSTM(model_cfg)
         self.variables = variables
         self.feat_cfg = feat_cfg
         self.silent_threshold = 4000
+        self.compute_dtype = compute_dtype
+        self.use_pallas = use_pallas
         self._jit = jax.jit(self._forward)
 
     def _forward(self, variables, buf, n):
         cfg = self.feat_cfg
         # librosa.load scale: int16 -> [-1, 1)
         y = _masked_prefix(buf.astype(jnp.float32), n, cfg.n_samples) / 32768.0
-        img = overlap_model_input(y, cfg)                       # (B, 128, 151, 3)
-        logits = self.model.apply(variables, img)
+        if self.use_pallas:
+            from mmla_audio_tpu.ops.pallas_features import (
+                overlap_model_input_pallas,
+            )
+            img = overlap_model_input_pallas(y, cfg)            # (B, 128, 151, 3)
+        else:
+            img = overlap_model_input(y, cfg)
+        if self.compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+            img = img.astype(self.compute_dtype)
+        logits = self.model.apply(variables, img).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
         labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         labels = jnp.where(n < self.silent_threshold, SILENT, labels)
@@ -101,11 +119,13 @@ class SpeakerPredictor:
                  model_cfg: SpeakerModelConfig = SpeakerModelConfig(),
                  feat_cfg: SpeakerFeatureConfig = SpeakerFeatureConfig(),
                  head_units: int | None = None,
-                 sigmoid_head: bool = False):
+                 sigmoid_head: bool = False,
+                 compute_dtype=None):
         self.model = SpeakerResBLSTM(model_cfg, head_units=head_units)
         self.variables = variables
         self.feat_cfg = feat_cfg
         self.sigmoid_head = sigmoid_head
+        self.compute_dtype = compute_dtype
         self._jit = jax.jit(self._forward)
         self._logits_jit = jax.jit(
             lambda v, feats: self.model.apply(v, feats))
@@ -113,7 +133,12 @@ class SpeakerPredictor:
     def _forward(self, variables, buf, n):
         cfg = self.feat_cfg
         feats, _ = speaker_feature_batch(buf.astype(jnp.float32), n, cfg)
-        logits = self.model.apply(variables, feats)
+        if self.compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+            feats = feats.astype(self.compute_dtype)
+        logits = self.model.apply(variables, feats).astype(jnp.float32)
         # Transfer-learned heads use sigmoid activation
         # (speaker_identification.py:409); argmax is invariant but the
         # probabilities logged differ.

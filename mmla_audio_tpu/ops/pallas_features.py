@@ -1,0 +1,138 @@
+"""Pallas-fused overlap feature kernel: PCM window -> quantized ZCR image.
+
+One kernel program per window does the whole DSP front-end in VMEM —
+framing, windowed real DFT (two MXU GEMMs), power, mel projection (GEMM),
+power_to_db (ref=max, top_db 80), min-max normalize, zero-crossing rate,
+image assembly with the PNG uint8 quantization and mel-axis flip — with a
+single HBM read (the padded audio) and a single HBM write (the image).
+The pure-jnp path (`ops.features.overlap_model_input`) materializes the
+power spectrum / mel / zcr intermediates in HBM between fusions; here the
+~500 KB working set never leaves VMEM.
+
+Numerics match the jnp path (full f32 GEMMs); parity is tested per element
+against `overlap_model_input` and the NumPy golden.  Non-TPU backends run
+the kernel in interpreter mode (tests), so the public wrapper is portable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmla_audio_tpu.core.config import OverlapFeatureConfig
+from mmla_audio_tpu.ops.spectral import _dft_basis, mel_filterbank
+
+__all__ = ["overlap_model_input_pallas"]
+
+
+def _kernel(xr_ref, xe_ref, cos_ref, sin_ref, mel_ref, out_ref,
+            frames, zframes, *, n_frames: int, hop: int, win: int):
+    # Framing: 151 strided slices from the padded signals into VMEM scratch.
+    def fill(t, _):
+        frames[t, :] = xr_ref[0, 0, pl.ds(t * hop, win)]
+        zframes[t, :] = xe_ref[0, 0, pl.ds(t * hop, win)]
+        return 0
+
+    jax.lax.fori_loop(0, n_frames, fill, 0)
+
+    f = frames[:]
+    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im                       # (T, bins)
+    mel = jnp.dot(power, mel_ref[:],
+                  preferred_element_type=jnp.float32)  # (T, M)
+
+    amin = 1e-10
+    ref = jnp.maximum(jnp.max(mel), amin)
+    db = 10.0 * jnp.log10(jnp.maximum(mel, amin)) - 10.0 * jnp.log10(ref)
+    db = jnp.maximum(db, jnp.max(db) - 80.0)
+    mn = jnp.min(db)
+    mx = jnp.max(db)
+    norm = (db - mn) / (mx - mn)                    # (T, M)
+
+    z = zframes[:]
+    snapped = jnp.where(jnp.abs(z) <= 1e-10, 0.0, z)
+    neg = jnp.signbit(snapped)
+    crossings = (neg[:, 1:] != neg[:, :-1]).astype(jnp.float32)
+    zcr = jnp.sum(crossings, axis=1) / (win - 1)    # (T,)
+
+    def q(x):
+        return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0)
+
+    # mel axis already flipped: the filterbank columns are reversed host-side
+    # (Mosaic has no `rev` lowering; a permuted GEMM is free).
+    gb = q(1.0 - norm.T)                            # (M, T)
+    r = q(jnp.broadcast_to(zcr[None, :], gb.shape))
+    out_ref[0, 0, :, :] = r
+    out_ref[0, 1, :, :] = gb
+    out_ref[0, 2, :, :] = gb
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _pallas_impl(y: jnp.ndarray, cfg: OverlapFeatureConfig,
+                 interpret: bool) -> jnp.ndarray:
+    B = y.shape[0]
+    win, hop = cfg.win_length, cfg.hop_length
+    T, M = cfg.n_frames, cfg.n_mels
+    bins = win // 2 + 1
+
+    # centered paddings prepared by XLA (cheap, fused into the copy).
+    # Shaped (B, 1, padded) so the per-window block (1, 1, padded) satisfies
+    # Mosaic's last-two-dims blocking rule.
+    xr = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="reflect")[:, None, :]
+    xe = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="edge")[:, None, :]
+    padded = xr.shape[-1]
+
+    cos, sin = _dft_basis(win, win, windowed=True)
+    # (bins, M) with mel columns reversed => image rows come out pre-flipped
+    fb = mel_filterbank(cfg.sample_rate, win, M, cfg.fmin, cfg.fmax).T[:, ::-1]
+    fb = np.ascontiguousarray(fb)
+
+    kernel = functools.partial(_kernel, n_frames=T, hop=hop, win=win)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, padded), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, padded), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, M, T), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, M, T), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T, win), jnp.float32),
+            pltpu.VMEM((T, win), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xr, xe, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(fb))
+    return jnp.moveaxis(out, 1, -1)                 # (B, M, T, 3)
+
+
+def overlap_model_input_pallas(y: jnp.ndarray,
+                               cfg: OverlapFeatureConfig = OverlapFeatureConfig()
+                               ) -> jnp.ndarray:
+    """Drop-in fused replacement for ``overlap_model_input`` on batched input
+    ``y (B, n)`` float audio in [-1, 1].  Pads/truncates to cfg.n_samples."""
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None]
+    n = cfg.n_samples
+    if y.shape[-1] < n:
+        y = jnp.pad(y, [(0, 0), (0, n - y.shape[-1])])
+    y = y[:, :n]
+    interpret = jax.default_backend() != "tpu"
+    out = _pallas_impl(y, cfg, interpret)
+    return out[0] if squeeze else out

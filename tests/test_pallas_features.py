@@ -1,0 +1,29 @@
+"""Pallas fused feature kernel vs the jnp reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.conftest import synth_speech
+
+from mmla_audio_tpu.ops.features import overlap_model_input
+from mmla_audio_tpu.ops.pallas_features import overlap_model_input_pallas
+
+
+def test_pallas_matches_jnp_path():
+    ys = np.stack([synth_speech(24000, seed=s) for s in range(3)])
+    ref = np.asarray(overlap_model_input(jnp.asarray(ys)))
+    got = np.asarray(overlap_model_input_pallas(jnp.asarray(ys)))
+    assert got.shape == ref.shape == (3, 128, 151, 3)
+    diff = np.abs(got - ref)
+    # identical up to one quantization step at float-boundary pixels
+    assert (diff <= 1.0).all()
+    assert (diff > 0).mean() < 0.01
+
+
+def test_pallas_single_window_and_padding():
+    y = synth_speech(10000, seed=9)
+    ref = np.asarray(overlap_model_input(jnp.asarray(y)))
+    got = np.asarray(overlap_model_input_pallas(jnp.asarray(y)))
+    diff = np.abs(got - ref)
+    assert (diff <= 1.0).all()
+    assert (diff > 0).mean() < 0.01

@@ -25,27 +25,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mmla_audio_tpu.core.config import OverlapFeatureConfig
-from mmla_audio_tpu.ops.spectral import _dft_basis, mel_filterbank
+from mmla_audio_tpu.ops.spectral import _dft_basis, frame_signal, mel_filterbank
 
 __all__ = ["overlap_model_input_pallas"]
 
 
-def _kernel(xr_ref, xe_ref, cos_ref, sin_ref, mel_ref, out_ref,
-            frames, zframes, *, n_frames: int, hop: int, win: int):
-    # Framing: 151 strided slices from the padded signals into VMEM scratch.
-    def fill(t, _):
-        frames[t, :] = xr_ref[0, 0, pl.ds(t * hop, win)]
-        zframes[t, :] = xe_ref[0, 0, pl.ds(t * hop, win)]
-        return 0
-
-    jax.lax.fori_loop(0, n_frames, fill, 0)
-
-    f = frames[:]
-    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+def _kernel(fr_ref, fe_ref, cos_ref, sin_ref, mel_ref, out_ref,
+            *, win: int):
+    # Frames arrive pre-gathered (Mosaic cannot prove alignment of strided
+    # hop-length loads); everything from the DFT on stays in VMEM.
+    f = fr_ref[0]
+    # HIGHEST: Mosaic's default f32 dot is a single bf16 MXU pass, which
+    # shifts >50% of the quantized feature bytes; full f32 passes restore
+    # parity with the jnp path.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
     power = re * re + im * im                       # (T, bins)
-    mel = jnp.dot(power, mel_ref[:],
-                  preferred_element_type=jnp.float32)  # (T, M)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)                     # (T, M)
 
     amin = 1e-10
     ref = jnp.maximum(jnp.max(mel), amin)
@@ -53,9 +53,11 @@ def _kernel(xr_ref, xe_ref, cos_ref, sin_ref, mel_ref, out_ref,
     db = jnp.maximum(db, jnp.max(db) - 80.0)
     mn = jnp.min(db)
     mx = jnp.max(db)
-    norm = (db - mn) / (mx - mn)                    # (T, M)
+    diff = mx - mn
+    norm = jnp.where(diff > 0,
+                     (db - mn) / jnp.where(diff > 0, diff, 1.0), 0.0)  # (T, M)
 
-    z = zframes[:]
+    z = fe_ref[0]
     snapped = jnp.where(jnp.abs(z) <= 1e-10, 0.0, z)
     neg = jnp.signbit(snapped)
     crossings = (neg[:, 1:] != neg[:, :-1]).astype(jnp.float32)
@@ -81,26 +83,27 @@ def _pallas_impl(y: jnp.ndarray, cfg: OverlapFeatureConfig,
     T, M = cfg.n_frames, cfg.n_mels
     bins = win // 2 + 1
 
-    # centered paddings prepared by XLA (cheap, fused into the copy).
-    # Shaped (B, 1, padded) so the per-window block (1, 1, padded) satisfies
-    # Mosaic's last-two-dims blocking rule.
-    xr = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="reflect")[:, None, :]
-    xe = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="edge")[:, None, :]
-    padded = xr.shape[-1]
+    # centered paddings + framing prepared by XLA (a gather the compiler
+    # fuses into the HBM->VMEM stream); Mosaic cannot prove alignment of
+    # strided hop-length loads in-kernel.
+    xr = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="reflect")
+    xe = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="edge")
+    fr = frame_signal(xr, win, hop, T)              # (B, T, win)
+    fe = frame_signal(xe, win, hop, T)
 
     cos, sin = _dft_basis(win, win, windowed=True)
     # (bins, M) with mel columns reversed => image rows come out pre-flipped
     fb = mel_filterbank(cfg.sample_rate, win, M, cfg.fmin, cfg.fmax).T[:, ::-1]
     fb = np.ascontiguousarray(fb)
 
-    kernel = functools.partial(_kernel, n_frames=T, hop=hop, win=win)
+    kernel = functools.partial(_kernel, win=win)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, padded), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, T, win), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, padded), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, T, win), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((win, bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -112,12 +115,8 @@ def _pallas_impl(y: jnp.ndarray, cfg: OverlapFeatureConfig,
         out_specs=pl.BlockSpec((1, 3, M, T), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 3, M, T), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((T, win), jnp.float32),
-            pltpu.VMEM((T, win), jnp.float32),
-        ],
         interpret=interpret,
-    )(xr, xe, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(fb))
+    )(fr, fe, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(fb))
     return jnp.moveaxis(out, 1, -1)                 # (B, M, T, 3)
 
 

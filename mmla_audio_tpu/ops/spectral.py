@@ -219,7 +219,11 @@ def minmax_normalize(m: jnp.ndarray, reduce_axes: tuple | None = None) -> jnp.nd
     else:
         mn = jnp.min(m, axis=reduce_axes, keepdims=True)
         mx = jnp.max(m, axis=reduce_axes, keepdims=True)
-    return (m - mn) / (mx - mn)
+    # degenerate (constant) spectrograms -> 0 instead of NaN; the reference
+    # would divide by zero here, but that only happens for exactly-silent
+    # windows which its VAD gate intercepts earlier.
+    diff = mx - mn
+    return jnp.where(diff > 0, (m - mn) / jnp.where(diff > 0, diff, 1.0), 0.0)
 
 
 def zero_crossing_rate(y: jnp.ndarray, frame_length: int, hop_length: int,

@@ -1,0 +1,130 @@
+"""Edge (Pi-class) session variant.
+
+Reproduces the reference's Raspberry-Pi runner semantics
+(`OverlapDetection/scripts/record_on_pi.py`):
+
+* heavier denoising (x4 passes, :100-112);
+* the SSIM silence gate instead of the VAD-length gate: the feature image of
+  the raw window vs the denoised window — SSIM < 0.3 (denoising wiped the
+  features, i.e. the window was noise-only) means silent (:39-48, :120);
+* a button-gated suspend/resume state machine around the capture stream
+  (:139-159), abstracted as a ``GateSource`` so GPIO, keyboard, or tests can
+  drive it.
+
+Deployment-wise the TFLite interpreter of the reference maps to the AOT
+fixed-shape program (see ``export.py``) — same predictor, pinned signature.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.core.config import PipelineConfig
+from mmla_audio_tpu.ops.denoise import reduce_noise
+from mmla_audio_tpu.ops.features import overlap_model_input
+from mmla_audio_tpu.ops.ssim import ssim
+from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS
+from mmla_audio_tpu.streaming.session import StreamingSession, _quantize_i16
+
+__all__ = ["GateSource", "EdgeOverlapSession"]
+
+
+class GateSource:
+    """The Pi button: while released, capture is suspended.  Tests and
+    keyboard handlers toggle ``set_pressed``."""
+
+    def __init__(self, pressed: bool = True):
+        self._event = threading.Event()
+        if pressed:
+            self._event.set()
+
+    def set_pressed(self, pressed: bool):
+        if pressed:
+            self._event.set()
+        else:
+            self._event.clear()
+
+    @property
+    def pressed(self) -> bool:
+        return self._event.is_set()
+
+    def wait_pressed(self, timeout: Optional[float] = None) -> bool:
+        return self._event.wait(timeout)
+
+
+class EdgeOverlapSession(StreamingSession):
+    """Overlap detection with the Pi runner's gates."""
+
+    kind = "overlap"
+
+    def __init__(self, predictor, capture, dirs, gate: Optional[GateSource] = None,
+                 ssim_threshold: float = 0.3,
+                 cfg: PipelineConfig = PipelineConfig(), **kw):
+        super().__init__(capture, dirs, cfg=cfg, **kw)
+        self.predictor = predictor
+        self.gate = gate or GateSource(pressed=True)
+        self.ssim_threshold = ssim_threshold
+
+        fcfg = cfg.overlap_feature
+
+        def fused(variables, raw, noise_thresh):
+            y = raw / 32768.0
+            y_dn = reduce_noise(y, noise_thresh, cfg.denoise,
+                                sr=cfg.audio.sample_rate,
+                                passes=cfg.denoise.passes_edge)
+            y_dn = _quantize_i16(y_dn) / 32768.0
+            img_raw = overlap_model_input(y[: fcfg.n_samples], fcfg)
+            img_dn = overlap_model_input(y_dn[: fcfg.n_samples], fcfg)
+            similarity = ssim(img_raw, img_dn)
+            logits = self.predictor.model.apply(variables, img_dn[None])
+            probs = jax.nn.softmax(logits, axis=-1)[0]
+            label = jnp.argmax(probs).astype(jnp.int32)
+            # SSIM < threshold: denoising erased the features => the window
+            # was noise-only => silent (record_on_pi.py:44-48, :120)
+            label = jnp.where(similarity < self.ssim_threshold, -1, label)
+            return label, probs, similarity
+
+        self._fused = jax.jit(fused)
+
+    def process_window(self, window_i16: np.ndarray):
+        label, probs, sim = self._fused(
+            self.predictor.variables,
+            jnp.asarray(window_i16.astype(np.float32)), self.noise_thresh)
+        label = int(label)
+        name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
+        return name, np.asarray(probs)
+
+    def run(self, max_windows=None, on_result=None):
+        """Pi loop: suspend while the gate is released, resume on press."""
+        assert self.noise_thresh is not None, "calibrate()/set_noise_profile() first"
+        results = []
+        n_win = self.cfg.audio.window_samples
+        suspended = False
+        src = getattr(self.capture, "source", None)
+        while max_windows is None or len(results) < max_windows:
+            if not self.gate.pressed:
+                if not suspended and hasattr(src, "suspend"):
+                    src.suspend()
+                suspended = True
+                if not self.gate.wait_pressed(timeout=0.1):
+                    continue
+            if suspended:
+                if hasattr(src, "resume"):
+                    src.resume()
+                suspended = False
+            window = self.capture.read_window(n_win, timeout=30.0)
+            if window is None:
+                break
+            label, prob = self.process_window(window)
+            from datetime import datetime
+
+            idx = self.log.append(label, datetime.today())
+            results.append((idx, label))
+            if on_result is not None:
+                on_result(idx, label, prob)
+        return results

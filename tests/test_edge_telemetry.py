@@ -1,0 +1,110 @@
+"""Edge session (SSIM gate, suspend/resume), telemetry, accuracy sweep."""
+
+from datetime import datetime
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.analyze.accuracy_sweep import (
+    parse_acc_file,
+    render_violin_html,
+    run_sweep,
+)
+from mmla_audio_tpu.analyze.telemetry import TelemetryClient
+from mmla_audio_tpu.core.config import (
+    PipelineConfig,
+    SpeakerModelConfig,
+    TransferConfig,
+)
+from mmla_audio_tpu.inference import OverlapPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+from mmla_audio_tpu.streaming.edge import EdgeOverlapSession, GateSource
+
+
+def test_telemetry_disabled_noop():
+    t = TelemetryClient()
+    assert not t.enabled
+    assert t.send("overlapped") is False
+    assert t.sent == 0
+
+
+def test_telemetry_payload_format():
+    t = TelemetryClient("http://x", "k")
+    p = t.format_payload("overlapped", datetime(2026, 1, 2, 3, 4, 5, 123456))
+    assert p == '{"value": "overlapped", "created_at": "2026-01-02T03:04:05Z"}'
+
+
+def test_telemetry_bad_endpoint_counts_error():
+    t = TelemetryClient("http://127.0.0.1:1/none", "k", timeout=0.2)
+    assert t.send("x") is False
+    assert t.errors == 1
+
+
+def test_gate_source():
+    g = GateSource(pressed=False)
+    assert not g.pressed
+    assert not g.wait_pressed(timeout=0.01)
+    g.set_pressed(True)
+    assert g.wait_pressed(timeout=0.01)
+
+
+def test_edge_session_ssim_gate(tmp_path):
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    # window 0: speech (denoise changes features -> low SSIM -> predicted);
+    # window 1: pure noise matching the profile -> high SSIM -> silent
+    rng = np.random.RandomState(0)
+    noise_win = (rng.randn(40960) * 25).astype(np.int16)
+    speech_win = synth_speech_i16(40960, seed=2)
+    src = ArraySource(np.concatenate([speech_win, noise_win]))
+    cap = CaptureThread(src).start()
+    sess = EdgeOverlapSession(pred, cap, tmp_path / "experiment")
+    sess.set_noise_profile((rng.randn(160000) * 25).astype(np.int16))
+    results = sess.run(max_windows=2)
+    cap.stop()
+    assert len(results) == 2
+    assert results[0][1] in ("non-overlapped", "overlapped")
+    assert results[1][1] == "silent"
+
+
+def test_edge_session_respects_gate(tmp_path):
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    src = ArraySource(synth_speech_i16(40960, seed=3))
+    cap = CaptureThread(src).start()
+    gate = GateSource(pressed=True)
+    sess = EdgeOverlapSession(pred, cap, tmp_path / "experiment", gate=gate)
+    sess.set_noise_profile(np.zeros(160000, np.int16))
+    results = sess.run(max_windows=1)
+    cap.stop()
+    assert len(results) == 1
+
+
+def test_accuracy_sweep_and_violin(tmp_path):
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=8)
+    base = SpeakerResBLSTM(cfg)
+    base_vars = base.init_variables(jax.random.PRNGKey(0))
+    from mmla_audio_tpu.train.transfer import TransferLearner
+    learner = TransferLearner(base_vars, n_speakers=2, model_cfg=cfg,
+                              cfg=TransferConfig(phase1_epochs=2,
+                                                 phase2_epochs=0,
+                                                 max_retrain_rounds=1))
+    rng = np.random.RandomState(0)
+    x = rng.randn(24, 256, 39).astype(np.float32)
+    x[:12, :, :5] += 4
+    y = np.zeros((24, 2), np.float32)
+    y[:12, 0] = 1
+    y[12:, 1] = 1
+    results = run_sweep(learner, x, y, ratios=(0.3, 0.5), seeds=(0,),
+                        acc_path=tmp_path / "acc.txt")
+    assert set(results) == {0.3, 0.5}
+    parsed = parse_acc_file(tmp_path / "acc.txt")
+    assert parsed.keys() == results.keys()
+    out = render_violin_html(results, tmp_path / "charts" / "acc.html")
+    assert out.exists() and "<svg" in out.read_text()

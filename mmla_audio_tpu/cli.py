@@ -246,6 +246,83 @@ def cmd_synth_corpus(args):
     print(f"[INFO] wrote {len(plan)} mixtures to {args.out_dir}")
 
 
+def cmd_overlap_train(args):
+    """Train the overlap detector from WAV directories (singles + mixtures):
+    featurize on device, stratified split, weighted CCE + Adadelta + cosine."""
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import OverlapTrainConfig
+    from mmla_audio_tpu.data.wavio import read_wav
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.train.checkpoints import save_variables
+    from mmla_audio_tpu.train.overlap_trainer import OverlapTrainer
+
+    xs, ys = [], []
+    for label, d in ((0, args.single_dir), (1, args.overlap_dir)):
+        for p in sorted(Path(d).glob("*.wav")):
+            sig, _ = read_wav(p)
+            xs.append(sig[:24000].astype(np.float32) / 32768.0)
+            ys.append(label)
+    pad = max(len(x) for x in xs)
+    buf = np.zeros((len(xs), 24000), np.float32)
+    for i, x in enumerate(xs):
+        buf[i, :len(x)] = x[:24000]
+    feats = np.asarray(overlap_model_input(jnp.asarray(buf)))
+    y = np.zeros((len(ys), 2), np.float32)
+    y[np.arange(len(ys)), ys] = 1.0
+
+    trainer = OverlapTrainer(train_cfg=OverlapTrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size))
+    state, history, (x_test, y_test) = trainer.train(
+        feats, y, weighted=True, augmented=args.augmented,
+        checkpoint_dir=args.out, verbose=True)
+    ev = trainer.evaluation(state, x_test, y_test)
+    print(f"[RESULT] test accuracy: {ev['accuracy']:.4f}")
+    print(f"[RESULT] confusion:\n{ev['confusion']}")
+    if args.out:
+        print(f"[INFO] best checkpoint at {args.out}")
+
+
+def cmd_speaker_pretrain(args):
+    """Base speaker model pretrain (TIMIT): RMSprop 1e-4, batch 32."""
+    import jax
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.data.corpus import featurize_clips
+    from mmla_audio_tpu.data.timit import TimitCatalog
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM, l2_penalty
+    from mmla_audio_tpu.train import (
+        Trainer,
+        keras_categorical_crossentropy,
+        rmsprop,
+    )
+    from mmla_audio_tpu.train.checkpoints import save_variables
+
+    cfg = PipelineConfig()
+    catalog = TimitCatalog.from_flat_dir(args.wav_dir) if not args.labels_csv \
+        else TimitCatalog.from_labels_csv(args.labels_csv, args.wav_dir)
+    clips, labels = [], []
+    for sid, sig, sr in catalog.iter_clips():
+        clips.append(sig)
+        labels.append(sid)
+    x, y, sid_dict = featurize_clips(clips, labels,
+                                     dim=cfg.speaker_model.num_speakers)
+    model = SpeakerResBLSTM(cfg.speaker_model)
+    variables = model.init_variables(jax.random.PRNGKey(args.seed))
+    trainer = Trainer(model, rmsprop(cfg.speaker_train.lr),
+                      keras_categorical_crossentropy,
+                      extra_penalty_fn=lambda p: l2_penalty(p, cfg.speaker_model))
+    state = trainer.init_state(variables)
+    state, history = trainer.fit(
+        state, x, y, epochs=args.epochs or cfg.speaker_train.epochs,
+        batch_size=cfg.speaker_train.batch_size,
+        early_stop_patience=cfg.speaker_train.early_stop_patience,
+        x_val=x, y_val=y, verbose=True)
+    save_variables(args.out, trainer.variables_of(state),
+                   {"speakers": sid_dict})
+    print(f"[INFO] saved base model to {args.out}")
+
+
 def cmd_charts(args):
     from mmla_audio_tpu.analyze.charts import visualize_all
     from mmla_audio_tpu.utils.experiment import ExperimentDirs
@@ -310,6 +387,23 @@ def main(argv=None):
     p.add_argument("--n-mixtures", type=int, default=6300)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_synth_corpus)
+
+    p = sub.add_parser("overlap-train")
+    p.add_argument("--single-dir", required=True)
+    p.add_argument("--overlap-dir", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--augmented", action="store_true")
+    p.set_defaults(fn=cmd_overlap_train)
+
+    p = sub.add_parser("speaker-pretrain")
+    p.add_argument("--wav-dir", required=True)
+    p.add_argument("--labels-csv", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_speaker_pretrain)
 
     p = sub.add_parser("charts")
     p.add_argument("--root", default="experiment")

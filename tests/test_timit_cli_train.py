@@ -1,0 +1,68 @@
+"""TIMIT catalog + training CLI subcommands (tiny fixtures)."""
+
+import numpy as np
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu import cli
+from mmla_audio_tpu.data.timit import TimitCatalog
+from mmla_audio_tpu.data.wavio import write_wav
+
+
+def _flat_corpus(d, n_speakers=3, clips=2, n=20000):
+    d.mkdir(parents=True, exist_ok=True)
+    for sp in range(n_speakers):
+        for k in range(clips):
+            write_wav(d / f"SPK{sp}_{k}.wav",
+                      synth_speech_i16(n, seed=sp * 7 + k))
+
+
+def test_catalog_flat_dir(tmp_path):
+    _flat_corpus(tmp_path / "wavs")
+    cat = TimitCatalog.from_flat_dir(tmp_path / "wavs")
+    assert cat.n_speakers == 3
+    sig, sid = cat.clip_loader(1, 0)
+    assert sid == "SPK1" and sig.dtype == np.int16
+
+
+def test_catalog_labels_csv(tmp_path):
+    _flat_corpus(tmp_path / "data")
+    csv_path = tmp_path / "labels.csv"
+    rows = ["speaker_id,path_from_data_dir"]
+    for sp in range(3):
+        for k in range(2):
+            rows.append(f"SPK{sp},SPK{sp}_{k}.wav")
+    csv_path.write_text("\n".join(rows) + "\n")
+    cat = TimitCatalog.from_labels_csv(csv_path, tmp_path / "data")
+    assert cat.n_speakers == 3
+    assert len(cat.entries) == 6
+
+
+def test_speaker_pretrain_cli(tmp_path, capsys):
+    _flat_corpus(tmp_path / "wavs", n_speakers=2, clips=2, n=16000)
+    cli.main(["speaker-pretrain", "--wav-dir", str(tmp_path / "wavs"),
+              "--out", str(tmp_path / "base_ckpt"), "--epochs", "1"])
+    out = capsys.readouterr().out
+    assert "saved base model" in out
+    assert (tmp_path / "base_ckpt" / "metadata.json").exists()
+
+
+def test_overlap_train_cli(tmp_path, capsys):
+    singles = tmp_path / "singles"
+    overlaps = tmp_path / "overlaps"
+    singles.mkdir()
+    overlaps.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        write_wav(singles / f"s{i}.wav", synth_speech_i16(24000, seed=i))
+        a = synth_speech_i16(24000, seed=100 + i).astype(np.int32)
+        b = synth_speech_i16(24000, seed=200 + i).astype(np.int32)
+        write_wav(overlaps / f"o{i}.wav",
+                  np.clip(a + b, -32768, 32767).astype(np.int16))
+    cli.main(["overlap-train", "--single-dir", str(singles),
+              "--overlap-dir", str(overlaps),
+              "--out", str(tmp_path / "od_ckpt"),
+              "--epochs", "2", "--batch-size", "8"])
+    out = capsys.readouterr().out
+    assert "test accuracy" in out
+    assert (tmp_path / "od_ckpt" / "metadata.json").exists()

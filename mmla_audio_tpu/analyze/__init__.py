@@ -1,0 +1,39 @@
+from mmla_audio_tpu.analyze.charts import (
+    PALETTE,
+    compute_distribution,
+    render_chart_html,
+    visualize_all,
+    visualize_log,
+)
+from mmla_audio_tpu.analyze.logs import (
+    OVERLAP_HEADER,
+    OVERLAP_LABELS,
+    OVERLAP_LABELS_3WAY,
+    SPEAKER_HEADER,
+    SessionLog,
+    parse_log,
+)
+from mmla_audio_tpu.analyze.post_time import (
+    overlap_post_analyze,
+    speaker_id_dict_from_corpus,
+    speaker_post_analyze,
+)
+from mmla_audio_tpu.analyze.telemetry import TelemetryClient
+
+__all__ = [
+    "PALETTE",
+    "compute_distribution",
+    "render_chart_html",
+    "visualize_all",
+    "visualize_log",
+    "OVERLAP_HEADER",
+    "OVERLAP_LABELS",
+    "OVERLAP_LABELS_3WAY",
+    "SPEAKER_HEADER",
+    "SessionLog",
+    "parse_log",
+    "overlap_post_analyze",
+    "speaker_id_dict_from_corpus",
+    "speaker_post_analyze",
+    "TelemetryClient",
+]

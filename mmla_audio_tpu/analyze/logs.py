@@ -38,6 +38,18 @@ class SessionLog:
         if overwrite and self.path.exists():
             self.path.unlink()
 
+    @classmethod
+    def resume(cls, path, kind: str = "overlap") -> "SessionLog":
+        """Deterministic restart: continue an interrupted session's log from
+        its last segment index (SURVEY §5 failure-detection note)."""
+        log = cls(path, kind=kind)
+        if log.path.exists():
+            rows = parse_log(log.path)
+            if rows:
+                log.index = rows[-1][0] + 1
+            log._wrote_header = log.path.stat().st_size > 0
+        return log
+
     def append(self, label: str, timestamp: datetime | None = None) -> int:
         ts = timestamp if timestamp is not None else datetime.today()
         mode = "a"

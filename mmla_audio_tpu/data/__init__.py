@@ -1,0 +1,37 @@
+from mmla_audio_tpu.data.corpus import (
+    featurize_clips,
+    featurize_corpus,
+    one_hot_first_appearance,
+)
+from mmla_audio_tpu.data.standardize import (
+    apply_gain_dbfs,
+    resample,
+    segment_signal,
+    standardize_audio,
+)
+from mmla_audio_tpu.data.synth import (
+    make_mixture,
+    overlay,
+    speaker_count_for_index,
+    synthesize_corpus,
+)
+from mmla_audio_tpu.data.timit import TimitCatalog
+from mmla_audio_tpu.data.wavio import read_wav, read_wav_float, write_wav
+
+__all__ = [
+    "featurize_clips",
+    "featurize_corpus",
+    "one_hot_first_appearance",
+    "apply_gain_dbfs",
+    "resample",
+    "segment_signal",
+    "standardize_audio",
+    "make_mixture",
+    "overlay",
+    "speaker_count_for_index",
+    "synthesize_corpus",
+    "TimitCatalog",
+    "read_wav",
+    "read_wav_float",
+    "write_wav",
+]

@@ -1,0 +1,36 @@
+from mmla_audio_tpu.streaming.capture import (
+    ArraySource,
+    CaptureThread,
+    FakePCMSource,
+    PyAudioSource,
+)
+from mmla_audio_tpu.streaming.edge import EdgeOverlapSession, GateSource
+from mmla_audio_tpu.streaming.native import (
+    NativeRingBuffer,
+    PyRingBuffer,
+    load_native,
+    make_ring,
+)
+from mmla_audio_tpu.streaming.session import (
+    OverlapSession,
+    SpeakerSession,
+    StreamingSession,
+    session_stamp,
+)
+
+__all__ = [
+    "ArraySource",
+    "CaptureThread",
+    "FakePCMSource",
+    "PyAudioSource",
+    "EdgeOverlapSession",
+    "GateSource",
+    "NativeRingBuffer",
+    "PyRingBuffer",
+    "load_native",
+    "make_ring",
+    "OverlapSession",
+    "SpeakerSession",
+    "StreamingSession",
+    "session_stamp",
+]

@@ -46,7 +46,9 @@ __all__ = ["session_stamp", "StreamingSession", "OverlapSession",
 def session_stamp(now: Optional[datetime] = None) -> str:
     """Reference log/dir naming: str(datetime.now()) with ' '/':' -> '-',
     micros stripped (`record_on_pc.py:103`)."""
-    s = str(now or datetime.now())[:-7]
+    s = str(now or datetime.now())
+    if "." in s:          # strip microseconds ([:-7] in the reference)
+        s = s[: s.index(".")]
     return s.replace(" ", "-").replace(":", "-")
 
 

@@ -1,0 +1,113 @@
+"""BASELINE config 5: concurrent overlap + speaker streams over one session
+-> /experiment logs + distribution charts; plus ring-buffer race stress."""
+
+import threading
+
+import numpy as np
+import jax
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.analyze.charts import visualize_all
+from mmla_audio_tpu.analyze.logs import parse_log
+from mmla_audio_tpu.core.config import PipelineConfig
+from mmla_audio_tpu.inference import OverlapPredictor, SpeakerPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+from mmla_audio_tpu.streaming.native import load_native, make_ring
+from mmla_audio_tpu.streaming.session import OverlapSession, SpeakerSession
+
+
+def test_concurrent_sessions_full_pipeline(tmp_path):
+    """Two independent sessions (overlap + speaker) consume the same audio
+    concurrently — the reference can only run one script at a time."""
+    audio = np.concatenate([synth_speech_i16(40960, seed=s) for s in range(3)])
+    noise = (np.random.RandomState(1).randn(160000) * 15).astype(np.int16)
+
+    ov_pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    sp_model = SpeakerResBLSTM(head_units=2)
+    sp_pred = SpeakerPredictor(sp_model.init_variables(jax.random.PRNGKey(1)),
+                               head_units=2, sigmoid_head=True)
+
+    root = tmp_path / "experiment"
+    from datetime import datetime
+    ov_cap = CaptureThread(ArraySource(audio)).start()
+    sp_cap = CaptureThread(ArraySource(audio)).start()
+    ov = OverlapSession(ov_pred, ov_cap, root, now=datetime(2026, 1, 1, 10, 0, 0))
+    sp = SpeakerSession(sp_pred, sp_cap, root,
+                        speaker_id_dict={"0": "alice", "1": "bob"},
+                        now=datetime(2026, 1, 1, 11, 0, 0))
+    ov.set_noise_profile(noise)
+    sp.set_noise_profile(noise)
+
+    results = {}
+
+    def run(name, sess):
+        results[name] = sess.run(max_windows=3)
+
+    t1 = threading.Thread(target=run, args=("ov", ov))
+    t2 = threading.Thread(target=run, args=("sp", sp))
+    t1.start()
+    t2.start()
+    t1.join(timeout=300)
+    t2.join(timeout=300)
+    ov_cap.stop()
+    sp_cap.stop()
+
+    assert len(results["ov"]) == 3
+    assert len(results["sp"]) == 3
+    logs = sorted((root / "logs").glob("*.txt"))
+    assert len(logs) == 2
+    for log in logs:
+        assert len(parse_log(log)) == 3
+
+    charts = visualize_all(root / "logs", root / "charts", kind="overlap")
+    assert len(charts) == 2
+    for c in charts:
+        assert "<svg" in c.read_text()
+
+
+@pytest.mark.parametrize("kind", ["native", "python"])
+def test_ring_buffer_concurrent_stress(kind):
+    """SPSC race check: a producer and consumer hammer the ring; every sample
+    must arrive exactly once, in order."""
+    if kind == "native" and load_native() is None:
+        pytest.skip("native lib unavailable")
+    ring = make_ring(1 << 12) if kind == "native" else None
+    if kind == "python":
+        from mmla_audio_tpu.streaming.native import PyRingBuffer
+        ring = PyRingBuffer(1 << 12)
+
+    total = 200_000
+    data = np.arange(total, dtype=np.int16)  # wraps, still deterministic
+    received = []
+    stop = threading.Event()
+
+    def producer():
+        pos = 0
+        rng = np.random.RandomState(0)
+        while pos < total:
+            n = int(rng.randint(1, 700))
+            wrote = ring.push(data[pos: pos + n])
+            pos += wrote
+        stop.set()
+
+    def consumer():
+        rng = np.random.RandomState(1)
+        while not (stop.is_set() and ring.available == 0):
+            n = int(rng.randint(1, 900))
+            out = ring.pop_upto(n)
+            if len(out):
+                received.append(out)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start()
+    tc.start()
+    tp.join(timeout=60)
+    tc.join(timeout=60)
+    got = np.concatenate(received) if received else np.empty(0, np.int16)
+    np.testing.assert_array_equal(got, data)

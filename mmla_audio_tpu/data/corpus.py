@@ -43,13 +43,22 @@ def one_hot_first_appearance(labels: Sequence[str], dim: int | None = None
     return y, id_dict
 
 
-def featurize_corpus(corpus_dir, cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
+def featurize_corpus(corpus_dir, cfg: SpeakerFeatureConfig = SpeakerFeatureConfig(),
+                     min_samples: int = 0
                      ) -> Tuple[np.ndarray, np.ndarray, Dict[str, str]]:
-    """-> (x (N, 256, 39), y one-hot (N, n_speakers), speaker_id_dict)."""
+    """-> (x (N, 256, 39), y one-hot (N, n_speakers), speaker_id_dict).
+
+    ``min_samples``: skip clips shorter than this — the reference's
+    ``get_wav_files`` drops corpus files under 240 000 bytes (~7.5 s,
+    `speaker_identification.py:56-66`), i.e. ``min_samples=120_000``;
+    default 0 keeps every enrollment.
+    """
     xs: List[np.ndarray] = []
     labels: List[str] = []
     for path in sorted(Path(corpus_dir).glob("*.wav")):
         sig, _ = read_wav(path)
+        if len(sig) < min_samples:
+            continue
         feats = np.asarray(mfcc39(jnp.asarray(sig.astype(np.float32))))
         T = feats.shape[0]
         n_slices = -(-T // cfg.max_frames)

@@ -1,0 +1,26 @@
+from datetime import datetime
+
+from mmla_audio_tpu.analyze.logs import SessionLog, parse_log
+
+
+def test_session_log_resume(tmp_path):
+    p = tmp_path / "s.txt"
+    log = SessionLog(p, kind="overlap", start_index=1)
+    log.append("overlapped", datetime(2026, 1, 1))
+    log.append("silent", datetime(2026, 1, 1))
+
+    resumed = SessionLog.resume(p, kind="overlap")
+    assert resumed.index == 3
+    resumed.append("non-overlapped", datetime(2026, 1, 1))
+    rows = parse_log(p)
+    assert [r[0] for r in rows] == [1, 2, 3]
+    # no duplicate header
+    text = p.read_text().splitlines()
+    assert sum(1 for ln in text if ln.startswith("segment\t")) == 1
+
+
+def test_session_log_resume_fresh(tmp_path):
+    resumed = SessionLog.resume(tmp_path / "new.txt")
+    assert resumed.index == 1
+    resumed.append("overlapped", datetime(2026, 1, 1))
+    assert parse_log(tmp_path / "new.txt")[0][0] == 1

@@ -24,7 +24,8 @@ import time
 
 import numpy as np
 
-B = 256          # windows per batch
+B = 512          # windows per batch (30 ms f32 step: best RTF under the
+                 # 50 ms p50 window-to-decision target)
 K = 8            # chained steps inside the jit
 
 

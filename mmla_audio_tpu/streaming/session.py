@@ -66,7 +66,11 @@ class StreamingSession:
     def __init__(self, capture, dirs: ExperimentDirs | str,
                  cfg: PipelineConfig = PipelineConfig(),
                  save_recordings: bool = False,
-                 now: Optional[datetime] = None):
+                 now: Optional[datetime] = None,
+                 telemetry=None):
+        # telemetry: analyze.telemetry.TelemetryClient — the reference's
+        # (commented-out) Adafruit-IO POST per prediction; no-op when unset.
+        self.telemetry = telemetry
         self.capture = capture
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
         self.cfg = cfg
@@ -140,6 +144,8 @@ class StreamingSession:
                 label, prob = self.process_window(window)
                 ts = datetime.today()
                 idx = self.log.append(label, ts)
+                if self.telemetry is not None:
+                    self.telemetry.send(label)
                 if self.save_recordings:
                     write_wav(self.rec_dir / f"{idx}.wav", window,
                               self.cfg.audio.sample_rate)

@@ -1,0 +1,62 @@
+"""Live-session throughput: the full serve loop including the host side.
+
+Measures BASELINE config 3 (streaming overlap detection with ring-buffer
+windowing + noise calibration) end-to-end: fake PCM source -> native ring
+buffer -> per-window fused device program -> TSV log.  Unlike bench.py (pure
+device throughput), this includes Python session overhead, host<->device
+transfer, and log IO — the number a deployed single-stream session sees.
+
+Usage:  python benchmarks/stream_bench.py [--windows N] [--batch B]
+"""
+
+import argparse
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.streaming.capture import CaptureThread, FakePCMSource
+    from mmla_audio_tpu.streaming.session import OverlapSession
+    from mmla_audio_tpu.utils.timers import RtfMeter
+
+    cfg = PipelineConfig()
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    cap = CaptureThread(FakePCMSource(cfg.audio, seed=0, realtime=False),
+                        cfg.audio).start()
+    with tempfile.TemporaryDirectory() as root:
+        sess = OverlapSession(pred, cap, root, cfg=cfg)
+        sess.set_noise_profile(
+            (np.random.RandomState(1).randn(160000) * 20).astype(np.int16))
+        sess.run(max_windows=2)                      # compile + warm
+
+        meter = RtfMeter(cfg.audio.window_seconds)
+        t0 = time.perf_counter()
+        results = sess.run(max_windows=args.windows)
+        dt = time.perf_counter() - t0
+        meter.record(dt, len(results))
+    cap.stop()
+    print(json.dumps({
+        "metric": "live_session_rtf_single_stream",
+        "value": round(meter.rtf, 2),
+        "unit": "x realtime",
+        "windows": len(results),
+        "per_window_ms": round(dt / max(len(results), 1) * 1000, 2),
+        "ring_overruns": int(getattr(cap.ring, "overruns", 0)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

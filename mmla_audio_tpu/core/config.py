@@ -148,8 +148,18 @@ class DenoiseConfig:
 
 @dataclasses.dataclass(frozen=True)
 class OverlapModelConfig:
-    """OverlapResBLSTM (overlap_detector.py:362-390)."""
+    """OverlapResBLSTM (overlap_detector.py:362-390).
 
+    ``input_scale``: multiplier applied to the 0..255 feature image at the
+    model boundary.  1.0 matches the reference contract (raw decode_png
+    floats); 1/255 dramatically improves trainability from scratch — the
+    un-normalized inputs ride the residual identity path into the BiLSTM and
+    saturate it, which is why the reference needs tens of thousands of steps
+    to move off chance.  Scale is part of the model config so it serializes
+    with checkpoints and the serving contract stays explicit.
+    """
+
+    input_scale: float = 1.0
     stem_filters: int = 16
     stage_filters: Tuple[int, ...] = (32, 64, 128)
     blocks_per_stage: int = 3

@@ -59,6 +59,8 @@ class OverlapResBLSTM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, rngs_dropout: bool = False):
         cfg = self.cfg
+        if cfg.input_scale != 1.0:
+            x = x * cfg.input_scale
         net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME", name="stem")(x)
         for stage, f in enumerate(cfg.stage_filters):
             for block in range(cfg.blocks_per_stage):

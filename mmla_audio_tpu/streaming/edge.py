@@ -65,9 +65,9 @@ class EdgeOverlapSession(StreamingSession):
     def __init__(self, predictor, capture, dirs, gate: Optional[GateSource] = None,
                  ssim_threshold: float = 0.3,
                  cfg: PipelineConfig = PipelineConfig(), **kw):
-        super().__init__(capture, dirs, cfg=cfg, **kw)
+        super().__init__(capture, dirs, cfg=cfg,
+                         gate=gate or GateSource(pressed=True), **kw)
         self.predictor = predictor
-        self.gate = gate or GateSource(pressed=True)
         self.ssim_threshold = ssim_threshold
 
         fcfg = cfg.overlap_feature
@@ -99,32 +99,5 @@ class EdgeOverlapSession(StreamingSession):
         name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
         return name, np.asarray(probs)
 
-    def run(self, max_windows=None, on_result=None):
-        """Pi loop: suspend while the gate is released, resume on press."""
-        assert self.noise_thresh is not None, "calibrate()/set_noise_profile() first"
-        results = []
-        n_win = self.cfg.audio.window_samples
-        suspended = False
-        src = getattr(self.capture, "source", None)
-        while max_windows is None or len(results) < max_windows:
-            if not self.gate.pressed:
-                if not suspended and hasattr(src, "suspend"):
-                    src.suspend()
-                suspended = True
-                if not self.gate.wait_pressed(timeout=0.1):
-                    continue
-            if suspended:
-                if hasattr(src, "resume"):
-                    src.resume()
-                suspended = False
-            window = self.capture.read_window(n_win, timeout=30.0)
-            if window is None:
-                break
-            label, prob = self.process_window(window)
-            from datetime import datetime
-
-            idx = self.log.append(label, datetime.today())
-            results.append((idx, label))
-            if on_result is not None:
-                on_result(idx, label, prob)
-        return results
+    # run() is inherited: StreamingSession handles the gate-driven
+    # suspend/resume state machine for every session kind.

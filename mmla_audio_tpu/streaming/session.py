@@ -67,10 +67,15 @@ class StreamingSession:
                  cfg: PipelineConfig = PipelineConfig(),
                  save_recordings: bool = False,
                  now: Optional[datetime] = None,
-                 telemetry=None):
+                 telemetry=None,
+                 gate=None):
         # telemetry: analyze.telemetry.TelemetryClient — the reference's
         # (commented-out) Adafruit-IO POST per prediction; no-op when unset.
+        # gate: streaming.edge.GateSource — the Pi runners' button-gated
+        # suspend/resume state machine (record_on_pi.py:139-159); capture is
+        # suspended while the gate is released.  None = always-on.
         self.telemetry = telemetry
+        self.gate = gate
         self.capture = capture
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
         self.cfg = cfg
@@ -136,8 +141,20 @@ class StreamingSession:
         assert self.noise_thresh is not None, "calibrate() first"
         results = []
         n_win = self.cfg.audio.window_samples
+        suspended = False
+        src = getattr(self.capture, "source", None)
         try:
             while max_windows is None or len(results) < max_windows:
+                if self.gate is not None and not self.gate.pressed:
+                    if not suspended and hasattr(src, "suspend"):
+                        src.suspend()
+                    suspended = True
+                    if not self.gate.wait_pressed(timeout=0.1):
+                        continue
+                if suspended:
+                    if hasattr(src, "resume"):
+                        src.resume()
+                    suspended = False
                 window = self.capture.read_window(n_win, timeout=30.0)
                 if window is None:
                     break

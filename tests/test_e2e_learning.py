@@ -1,0 +1,48 @@
+"""End-to-end learning: synthetic mixture corpus -> features -> training ->
+held-out accuracy well above chance.  Validates that the whole train path
+(synthesis, featurization, weighted loss, optimizer, schedule) actually
+learns, not just runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.core.config import OverlapModelConfig, OverlapTrainConfig
+from mmla_audio_tpu.data.synth import make_mixture
+from mmla_audio_tpu.ops.features import overlap_model_input
+from mmla_audio_tpu.train.overlap_trainer import OverlapTrainer
+
+
+def test_overlap_detector_learns_from_synthetic_corpus():
+    rng = np.random.RandomState(0)
+    n_per_class = 48
+
+    singles, mixtures = [], []
+    for i in range(n_per_class):
+        singles.append(synth_speech_i16(24000, seed=1000 + i))
+        a = synth_speech_i16(30000, seed=2000 + i)
+        b = synth_speech_i16(30000, seed=3000 + i)
+        c = synth_speech_i16(30000, seed=4000 + i)
+        mixtures.append(make_mixture([a, b, c], rng))
+
+    buf = np.zeros((2 * n_per_class, 24000), np.float32)
+    for i, s in enumerate(singles):
+        buf[i, :len(s)] = s[:24000]
+    for i, m in enumerate(mixtures):
+        buf[n_per_class + i, :len(m)] = m[:24000]
+    feats = np.asarray(overlap_model_input(jnp.asarray(buf / 32768.0)))
+
+    y = np.zeros((2 * n_per_class, 2), np.float32)
+    y[:n_per_class, 0] = 1
+    y[n_per_class:, 1] = 1
+
+    trainer = OverlapTrainer(
+        OverlapModelConfig(stage_filters=(8, 8, 16), lstm_units=16),
+        OverlapTrainConfig(epochs=12, batch_size=16, early_stop_patience=12,
+                           cosine_eta_max=3e-3, cosine_eta_min=3e-4))
+    state, history, (x_test, y_test) = trainer.train(
+        feats, y, weighted=True, augmented=False, seed=0)
+    ev = trainer.evaluation(state, x_test, y_test)
+    assert ev["accuracy"] >= 0.75, (ev["accuracy"], ev["confusion"])

@@ -1,0 +1,71 @@
+"""Image-dataset loading for reference-generated training corpora.
+
+The reference trains the overlap detector from a directory of feature PNGs +
+an xlsx/csv label table (`overlap_detector.py:23-59` images_loader /
+labels_loader; `data_augmentation.py` writes `augmented_labels.csv`).  This
+loader ingests that on-disk format so corpora produced by the original
+scripts train directly here (PNG decode via cv2; labels from CSV — xlsx
+needs openpyxl which this image doesn't ship, so export to CSV first).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["load_images", "load_labels_csv", "load_image_dataset", "one_hot"]
+
+
+def load_images(images_dir, names: Sequence[str] | None = None) -> Tuple[np.ndarray, List[str]]:
+    """Decode PNGs -> float32 0..255 (B, H, W, 3), RGB order (the reference
+    decodes with tf.image.decode_png; cv2 loads BGR, so we flip)."""
+    import cv2
+
+    images_dir = Path(images_dir)
+    if names is None:
+        names = sorted(p.name for p in images_dir.glob("*.png"))
+    arrs = []
+    for name in names:
+        img = cv2.imread(str(images_dir / name))
+        if img is None:
+            raise FileNotFoundError(images_dir / name)
+        arrs.append(img[:, :, ::-1].astype(np.float32))
+    return np.stack(arrs), list(names)
+
+
+def load_labels_csv(labels_csv, name_col: str = "image_file_name",
+                    label_col: str = "overlap_degree") -> dict:
+    """-> {image_file_name: int label} from an augmented_labels-style CSV."""
+    out = {}
+    with open(labels_csv) as f:
+        for row in csv.DictReader(f):
+            out[row[name_col]] = int(row[label_col])
+    return out
+
+
+def one_hot(labels: Sequence[int], n_classes: int | None = None) -> np.ndarray:
+    labels = np.asarray(labels, np.int64)
+    n = n_classes or int(labels.max()) + 1
+    y = np.zeros((len(labels), n), np.float32)
+    y[np.arange(len(labels)), labels] = 1.0
+    return y
+
+
+def load_image_dataset(images_dir, labels_csv, *, n_classes: int | None = None,
+                       label_offset: int = 0,
+                       name_col: str = "image_file_name",
+                       label_col: str = "overlap_degree"
+                       ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Join PNGs with CSV labels -> (x (B,H,W,3) 0..255, y one-hot, names).
+
+    ``label_offset`` maps the reference's 1/2 coding (1 = single, 2 =
+    overlapped, `data_augmentation.py:91-92`) onto 0-based classes with -1.
+    """
+    label_map = load_labels_csv(labels_csv, name_col, label_col)
+    names = [n for n in sorted(label_map) ]
+    x, names = load_images(images_dir, names)
+    labels = [label_map[n] + label_offset for n in names]
+    return x, one_hot(labels, n_classes), names

@@ -67,6 +67,10 @@ class TimitCatalog:
         sig, _ = read_wav(paths[sample_index % len(paths)])
         return sig, sid
 
+    def statistics(self) -> Dict[str, int]:
+        """Clips per speaker (`speaker_identification.py:154-165`)."""
+        return {sid: len(paths) for sid, paths in self.by_speaker.items()}
+
     def iter_clips(self):
         for sid, path in self.entries:
             sig, sr = read_wav(path)

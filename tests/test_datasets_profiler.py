@@ -1,0 +1,89 @@
+"""Image-dataset loaders, TIMIT statistics, profiler smoke."""
+
+import csv
+
+import numpy as np
+import cv2
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.data.datasets import (
+    load_image_dataset,
+    load_images,
+    load_labels_csv,
+    one_hot,
+)
+from mmla_audio_tpu.data.timit import TimitCatalog
+from mmla_audio_tpu.data.wavio import write_wav
+from mmla_audio_tpu.utils.timers import RtfMeter, StageTimer
+
+
+def _write_dataset(tmp_path, n=4):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    rows = [("image_file_name", "overlap_degree")]
+    for i in range(n):
+        img = (rng.rand(16, 20, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"seg{i}.png"), img[:, :, ::-1])  # store RGB
+        rows.append((f"seg{i}.png", 1 + (i % 2)))
+    csv_path = tmp_path / "labels.csv"
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return img_dir, csv_path
+
+
+def test_load_image_dataset(tmp_path):
+    img_dir, csv_path = _write_dataset(tmp_path)
+    x, y, names = load_image_dataset(img_dir, csv_path, label_offset=-1)
+    assert x.shape == (4, 16, 20, 3)
+    assert x.dtype == np.float32 and x.max() > 1.0
+    assert y.shape == (4, 2)
+    np.testing.assert_array_equal(np.argmax(y, 1), [0, 1, 0, 1])
+
+
+def test_load_images_rgb_order(tmp_path):
+    img_dir = tmp_path / "i"
+    img_dir.mkdir()
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 200  # red in RGB
+    cv2.imwrite(str(img_dir / "a.png"), img[:, :, ::-1])
+    x, _ = load_images(img_dir)
+    assert x[0, 0, 0, 0] == 200 and x[0, 0, 0, 2] == 0
+
+
+def test_timit_statistics(tmp_path):
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for sp, k in [("A", 3), ("B", 1)]:
+        for i in range(k):
+            write_wav(d / f"{sp}_{i}.wav", synth_speech_i16(2000, seed=i))
+    cat = TimitCatalog.from_flat_dir(d)
+    assert cat.statistics() == {"A": 3, "B": 1}
+
+
+def test_stage_timer_and_rtf_meter():
+    t = StageTimer()
+    with t.stage("x"):
+        pass
+    with t.stage("x"):
+        pass
+    s = t.summary()
+    assert s["x"]["count"] == 2
+
+    m = RtfMeter(window_seconds=2.56)
+    m.record(0.256, batch=10)     # 25.6 audio-sec in 0.256 s -> RTF 100
+    assert abs(m.rtf - 100.0) < 1e-6
+    assert m.p50_ms == 256.0
+
+
+def test_device_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.utils.timers import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    assert any((tmp_path / "trace").rglob("*"))

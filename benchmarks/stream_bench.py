@@ -10,6 +10,11 @@ Usage:  python benchmarks/stream_bench.py [--windows N] [--batch B]
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import tempfile
 import time

@@ -95,7 +95,11 @@ class OverlapPredictor:
         return labels, probs
 
     def predict(self, buf, n):
-        buf = jnp.asarray(buf, jnp.float32)
+        # int16 PCM is shipped to the device as-is (half the host->HBM
+        # bytes); the cast to f32 happens in-program.
+        buf = jnp.asarray(buf)
+        if buf.dtype not in (jnp.int16, jnp.float32):
+            buf = buf.astype(jnp.float32)
         n = jnp.asarray(n, jnp.int32)
         if buf.ndim == 1:
             labels, probs = self._jit(self.variables, buf[None], n[None])
@@ -149,7 +153,9 @@ class SpeakerPredictor:
         return labels, probs
 
     def predict(self, buf, n):
-        buf = jnp.asarray(buf, jnp.float32)
+        buf = jnp.asarray(buf)
+        if buf.dtype not in (jnp.int16, jnp.float32):
+            buf = buf.astype(jnp.float32)
         n = jnp.asarray(n, jnp.int32)
         if buf.ndim == 1:
             labels, probs = self._jit(self.variables, buf[None], n[None])

@@ -73,8 +73,8 @@ def overlap_post_analyze(dirs: ExperimentDirs, predictor, *,
         log = SessionLog(log_path, kind="overlap", start_index=0)
         t0 = start_time or datetime.today()
         if len(segs):
-            pad = np.zeros((segs.shape[0], cfg.audio.window_samples), np.float32)
-            pad[:, :segs.shape[1]] = segs.astype(np.float32)
+            pad = np.zeros((segs.shape[0], cfg.audio.window_samples), np.int16)
+            pad[:, :segs.shape[1]] = segs
             n = np.full((segs.shape[0],), segs.shape[1], np.int32)
             labels, _ = predictor.predict(pad, n)
             names = [OVERLAP_LABELS.get(str(int(l)), "silent")

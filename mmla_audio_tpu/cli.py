@@ -196,12 +196,12 @@ def cmd_overlap_run(args):
     with timer.stage("wav_load"):
         for p in paths:
             sig, _ = read_wav(p)
-            buf = np.zeros(cfg.audio.window_samples, np.float32)
+            buf = np.zeros(cfg.audio.window_samples, np.int16)
             k = min(len(sig), len(buf))
             buf[:k] = sig[:k]
             bufs.append(buf)
             counts.append(k)
-    bufs = np.stack(bufs)
+    bufs = np.stack(bufs)                 # int16 ships at half the bytes
     counts = np.asarray(counts, np.int32)
 
     with timer.stage("predict_compile_and_run"):

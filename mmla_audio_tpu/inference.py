@@ -48,12 +48,23 @@ def _masked_prefix(buf: jnp.ndarray, n: jnp.ndarray, length: int) -> jnp.ndarray
     return jnp.where(idx < n[..., None], pre, 0.0)
 
 
+def _as_device_pcm(buf) -> jnp.ndarray:
+    """Accepted input dtypes: int16 PCM passes through untouched (half the
+    host->HBM bytes; cast to f32 happens in-program), float32 passes through,
+    anything else is cast to float32 host-side."""
+    buf = jnp.asarray(buf)
+    if buf.dtype not in (jnp.int16, jnp.float32):
+        buf = buf.astype(jnp.float32)
+    return buf
+
+
 class OverlapPredictor:
     """Overlap detection over (denoised, VAD-trimmed) windows.
 
-    ``predict(buf, n)``: ``buf (B, >=24000)`` float32 int16-scale samples
-    (raw PCM values), ``n (B,)`` valid counts -> ``(labels (B,), probs (B, C))``
-    with label SILENT where ``n < 4000``.
+    ``predict(buf, n)``: ``buf (B, >=24000)`` raw PCM samples — int16
+    preferred (cheapest transfer) or float32 at int16 scale — with ``n (B,)``
+    valid counts -> ``(labels (B,), probs (B, C))`` and label SILENT where
+    ``n < 4000``.
     """
 
     def __init__(self, variables: Dict[str, Any],
@@ -95,11 +106,7 @@ class OverlapPredictor:
         return labels, probs
 
     def predict(self, buf, n):
-        # int16 PCM is shipped to the device as-is (half the host->HBM
-        # bytes); the cast to f32 happens in-program.
-        buf = jnp.asarray(buf)
-        if buf.dtype not in (jnp.int16, jnp.float32):
-            buf = buf.astype(jnp.float32)
+        buf = _as_device_pcm(buf)
         n = jnp.asarray(n, jnp.int32)
         if buf.ndim == 1:
             labels, probs = self._jit(self.variables, buf[None], n[None])
@@ -114,9 +121,10 @@ class OverlapPredictor:
 class SpeakerPredictor:
     """Speaker identification over (denoised, VAD-trimmed) windows.
 
-    ``predict(buf, n)``: ``buf (B, 40960)`` float32 raw int16-scale samples,
-    ``n (B,)`` -> ``(labels (B,), probs (B, n_speakers))`` with SILENT gate.
-    Map label -> name via the enrollment ``speaker_id_dict``.
+    ``predict(buf, n)``: ``buf (B, 40960)`` raw PCM (int16 preferred, or
+    float32 at int16 scale), ``n (B,)`` -> ``(labels (B,),
+    probs (B, n_speakers))`` with SILENT gate.  Map label -> name via the
+    enrollment ``speaker_id_dict``.
     """
 
     def __init__(self, variables: Dict[str, Any],
@@ -153,9 +161,7 @@ class SpeakerPredictor:
         return labels, probs
 
     def predict(self, buf, n):
-        buf = jnp.asarray(buf)
-        if buf.dtype not in (jnp.int16, jnp.float32):
-            buf = buf.astype(jnp.float32)
+        buf = _as_device_pcm(buf)
         n = jnp.asarray(n, jnp.int32)
         if buf.ndim == 1:
             labels, probs = self._jit(self.variables, buf[None], n[None])

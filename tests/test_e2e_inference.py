@@ -51,6 +51,23 @@ def test_overlap_predict_end_to_end(tmp_path):
     assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
 
 
+def test_int16_input_matches_float32():
+    """int16 PCM is the preferred transfer dtype; results must be identical
+    to float32 at int16 scale, for both predictors."""
+    ov = OverlapPredictor(OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    sp = SpeakerPredictor(SpeakerResBLSTM().init_variables(jax.random.PRNGKey(1)))
+    buf_f = np.zeros((2, 40960), np.float32)
+    buf_f[0] = synth_speech_i16(40960, seed=4)
+    buf_f[1, :2000] = 321.0
+    buf_i = buf_f.astype(np.int16)
+    n = np.array([40960, 2000])
+    for pred in (ov, sp):
+        lf, pf = pred.predict(buf_f, n)
+        li, pi = pred.predict(buf_i, n)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(li))
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pi))
+
+
 def test_overlap_single_window_api():
     model = OverlapResBLSTM()
     variables = model.init_variables(jax.random.PRNGKey(0))

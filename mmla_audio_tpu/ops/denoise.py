@@ -146,13 +146,16 @@ def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
 
 def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
                  cfg: DenoiseConfig = DenoiseConfig(),
-                 sr: int = 16_000, passes: int = 1) -> jnp.ndarray:
+                 sr: int = 16_000, passes: int = 1,
+                 quantize_between_passes: bool = True) -> jnp.ndarray:
     """Denoise ``y (..., n)`` (float [-1, 1]) against a precomputed threshold.
 
     ``passes`` > 1 re-applies the gate (reference applies x3/x4 on some
-    paths).  The threshold is computed ONCE per session from the calibration
-    clip — exactly the reference's flow, where the noise profile never
-    changes between passes.
+    paths) — the reference writes a PCM16 WAV and re-loads it between passes
+    (`record_on_pi.py:103-112`), so intermediate results are quantized to
+    int16; ``quantize_between_passes`` reproduces that.  The threshold is
+    computed ONCE per session from the calibration clip — exactly the
+    reference's flow, where the noise profile never changes between passes.
     """
     n = y.shape[-1]
     pad_cfg = [(0, 0)] * (y.ndim - 1) + [(_PAD, _PAD)]
@@ -160,7 +163,9 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
         cfg.time_mask_smooth_ms))
 
-    for _ in range(passes):
+    for pass_idx in range(passes):
+        if pass_idx > 0 and quantize_between_passes:
+            y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) / 32768.0
         yp = jnp.pad(y, pad_cfg)
         re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length)  # (..., T, K)
         mag = jnp.sqrt(re * re + im * im)

@@ -56,6 +56,11 @@ class Trainer:
     ``loss_fn(logits, y) -> per-example loss``;  the step adds
     ``extra_penalty_fn(params)`` (e.g. l2 kernel regularizers) to the batch
     mean, matching Keras' loss = data_loss + sum(regularizers).
+
+    Known divergence: partial final batches are zero-padded + loss-masked
+    (static shapes), so BatchNorm batch statistics see the padding rows,
+    where Keras simply runs a smaller batch.  Negligible for the momentum-
+    0.99 running stats unless most batches are partial.
     """
 
     def __init__(self, model, tx: optax.GradientTransformation,

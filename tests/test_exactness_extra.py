@@ -1,0 +1,75 @@
+"""Extra exactness checks: adversarial VAD patterns, multi-pass denoise
+quantization parity, data-parallel speaker inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import synth_speech
+from tests.golden import noisereduce_ref as ngold
+from tests.golden.vad_ref import vad_collector_indices
+
+from mmla_audio_tpu.inference import SpeakerPredictor
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
+from mmla_audio_tpu.parallel import DataParallel, make_mesh
+from mmla_audio_tpu.vad.collector import collect_mask
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_collect_mask_pure_random_patterns(seed):
+    """IID random per-frame decisions (worst case for the hysteresis logic)."""
+    rng = np.random.RandomState(100 + seed)
+    T = rng.randint(10, 200)
+    p = rng.choice([0.2, 0.5, 0.8, 0.95])
+    is_speech = rng.rand(T) < p
+    got = np.asarray(collect_mask(jnp.asarray(is_speech)))
+    expect = np.zeros(T, bool)
+    expect[vad_collector_indices(list(is_speech))] = True
+    np.testing.assert_array_equal(got, expect, err_msg=f"seed={seed} T={T} p={p}")
+
+
+def test_collect_mask_alternating_edge():
+    pattern = [True, False] * 40
+    got = np.asarray(collect_mask(jnp.asarray(pattern)))
+    expect = np.zeros(80, bool)
+    expect[vad_collector_indices(pattern)] = True
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_multipass_denoise_matches_iterated_golden_with_quantization():
+    """x3 passes must equal the golden applied 3x with int16 WAV round-trips
+    in between (the reference re-writes/reloads PCM16 every pass)."""
+    rng = np.random.RandomState(0)
+    noise = (rng.randn(160000) * 0.01).astype(np.float32)
+    sig = synth_speech(40960, seed=5) * 0.3 + (rng.randn(40960) * 0.01
+                                               ).astype(np.float32)
+    thr = noise_threshold(jnp.asarray(noise))
+    ours = np.asarray(reduce_noise(jnp.asarray(sig), thr, passes=3))
+
+    ref = sig.astype(np.float64)
+    for i in range(3):
+        if i > 0:
+            ref = np.clip(np.round(ref * 32768.0), -32768, 32767) / 32768.0
+        ref = ngold.reduce_noise(ref, noise.astype(np.float64))
+    scale = max(np.abs(ref).max(), 1e-9)
+    np.testing.assert_allclose(ours, ref, atol=5e-3 * scale)
+
+
+def test_data_parallel_speaker_inference():
+    cfg_devices = jax.devices()
+    assert len(cfg_devices) == 8
+    model = SpeakerResBLSTM(head_units=4)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    pred = SpeakerPredictor(variables, head_units=4, sigmoid_head=True)
+    rng = np.random.RandomState(0)
+    buf = (rng.randn(16, 40960) * 2000).astype(np.float32)
+    n = np.full(16, 40960, np.int32)
+    labels_1, probs_1 = pred.predict(buf, n)
+    mesh = make_mesh()
+    dp = DataParallel(pred.lower_fn(), mesh)
+    labels_8, probs_8 = dp(variables, jnp.asarray(buf), jnp.asarray(n))
+    np.testing.assert_array_equal(np.asarray(labels_1), np.asarray(labels_8))
+    np.testing.assert_allclose(np.asarray(probs_1), np.asarray(probs_8),
+                               atol=2e-5)

@@ -166,12 +166,30 @@ class Trainer:
             early_stop_patience: Optional[int] = None,
             lr_schedule_epoch: Optional[Callable[[int], float]] = None,
             rng: Optional[jax.Array] = None,
+            mesh=None,
             verbose: bool = False):
-        """Keras-flavored fit.  Returns (state, history dict)."""
+        """Keras-flavored fit.  Returns (state, history dict).
+
+        ``mesh``: a ``jax.sharding.Mesh`` — parameters replicate, every batch
+        shards across the ``data`` axis inside the scanned epoch and XLA
+        all-reduces the gradients over ICI.  ``batch_size`` is global and
+        must divide by the mesh's data-axis size.
+        """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         xp, yp, maskp = pad_to_batches(np.asarray(x_train), np.asarray(y_train),
                                        batch_size)
         xp, yp, maskp = jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(maskp)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, (batch_size, n_data)
+            rep = NamedSharding(mesh, P())
+            state = jax.device_put(state, rep)
+            # the scan reshapes to (n_batches, batch, ...): shard dim 1
+            xp = jax.device_put(xp, NamedSharding(mesh, P("data")))
+            yp = jax.device_put(yp, NamedSharding(mesh, P("data")))
+            maskp = jax.device_put(maskp, NamedSharding(mesh, P("data")))
         history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
         best_val = np.inf
         patience_left = early_stop_patience

@@ -1,0 +1,44 @@
+"""Data-parallel training over the 8-device mesh must match single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.core.config import SpeakerModelConfig
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.parallel import make_mesh
+from mmla_audio_tpu.train import Trainer, keras_categorical_crossentropy, rmsprop
+
+
+def _data(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 256, 39).astype(np.float32)
+    x[: n // 2, :, :8] += 3
+    y = np.zeros((n, 2), np.float32)
+    y[: n // 2, 0] = 1
+    y[n // 2:, 1] = 1
+    return x, y
+
+
+def test_mesh_fit_matches_single_device():
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=2)
+    x, y = _data()
+
+    def run(mesh):
+        model = SpeakerResBLSTM(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        tr = Trainer(model, rmsprop(1e-3), keras_categorical_crossentropy)
+        state = tr.init_state(variables)
+        state, hist = tr.fit(state, x, y, epochs=2, batch_size=16,
+                             rng=jax.random.PRNGKey(1), mesh=mesh)
+        return state, hist
+
+    s1, h1 = run(None)
+    s8, h8 = run(make_mesh())
+    np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4, atol=1e-5)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(p1))

@@ -82,13 +82,19 @@ def cmd_setup(args):
 
 def cmd_overlap_live(args):
     from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.streaming.edge import EdgeOverlapSession
     from mmla_audio_tpu.streaming.session import OverlapSession
 
     cfg = PipelineConfig()
     pred = _predictor_overlap(args.ckpt, cfg)
     cap = _capture(args, cfg)
-    sess = OverlapSession(pred, cap, args.root, cfg=cfg,
-                          save_recordings=args.save_recordings)
+    if args.edge:
+        # Pi-variant: x4 denoise + SSIM silence gate (record_on_pi.py)
+        sess = EdgeOverlapSession(pred, cap, args.root, cfg=cfg,
+                                  save_recordings=args.save_recordings)
+    else:
+        sess = OverlapSession(pred, cap, args.root, cfg=cfg,
+                              save_recordings=args.save_recordings)
     print("[INFO] calibrating ambient noise "
           f"({cfg.audio.noise_profile_seconds:.0f}s)...")
     sess.calibrate(args.calibrate_seconds)
@@ -355,6 +361,8 @@ def main(argv=None):
 
     p = sub.add_parser("overlap-live")
     common(p, live=True)
+    p.add_argument("--edge", action="store_true",
+                   help="Pi-variant pipeline: x4 denoise + SSIM silence gate")
     p.set_defaults(fn=cmd_overlap_live)
 
     p = sub.add_parser("speaker-live")

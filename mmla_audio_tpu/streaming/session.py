@@ -260,10 +260,16 @@ class SpeakerSession(StreamingSession):
         (`transfer_learning_on_experiment` + retrain loop)."""
         from mmla_audio_tpu.data.corpus import featurize_corpus
         from mmla_audio_tpu.inference import SpeakerPredictor
+        from mmla_audio_tpu.train.checkpoints import (
+            save_feature_cache,
+            save_variables,
+        )
         from mmla_audio_tpu.train.transfer import TransferLearner
 
         x, y, sid = featurize_corpus(self.dirs.corpus,
                                      cfg=self.cfg.speaker_feature)
+        # experiment_feature.npz cache (speaker_identification.py:485-489)
+        save_feature_cache(self.dirs.root / "experiment_feature", x, y, sid)
         learner = TransferLearner(base_variables, n_speakers=y.shape[1],
                                   model_cfg=self.cfg.speaker_model,
                                   cfg=self.cfg.transfer)
@@ -271,6 +277,11 @@ class SpeakerSession(StreamingSession):
             x, y, seed=seed, epochs_override=epochs_override)
         self.speaker_id_dict = sid
         (self.dirs.root / "speaker_id_dict.json").write_text(json.dumps(sid))
+        # the reference saves the fine-tuned model to experiment/model
+        save_variables(self.dirs.model, variables,
+                       {"n_speakers": int(y.shape[1]),
+                        "accuracy": float(acc),
+                        "speaker_id_dict": sid})
         self.predictor = SpeakerPredictor(
             variables, self.cfg.speaker_model, self.cfg.speaker_feature,
             head_units=y.shape[1], sigmoid_head=True)

@@ -64,6 +64,14 @@ def test_synth_corpus_cli(tmp_path, capsys):
     assert (out_dir / "augmented_labels.csv").exists()
 
 
+def test_overlap_live_edge_fake(tmp_path, capsys):
+    cli.main(["overlap-live", "--fake", "--edge", "--windows", "1",
+              "--calibrate-seconds", "1",
+              "--root", str(tmp_path / "experiment")])
+    out = capsys.readouterr().out
+    assert "window 1:" in out
+
+
 def test_speaker_live_fake_with_registration(tmp_path, capsys):
     cli.main(["speaker-live", "--fake", "--windows", "1",
               "--calibrate-seconds", "1",
@@ -74,3 +82,6 @@ def test_speaker_live_fake_with_registration(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "registration accuracy" in out
     assert (tmp_path / "experiment" / "speaker_id_dict.json").exists()
+    # persisted fine-tuned model + feature cache (reference artifacts)
+    assert (tmp_path / "experiment" / "model" / "metadata.json").exists()
+    assert (tmp_path / "experiment" / "experiment_feature.npz").exists()

@@ -19,7 +19,7 @@ pure data parallelism (see ``parallel``).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict
 
 import jax

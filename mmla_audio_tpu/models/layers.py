@@ -15,7 +15,7 @@ interleave BN through every residual block (`overlap_detector.py:227-256`,
 
 from __future__ import annotations
 
-from typing import Callable
+
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ pyrUp zero-stuffs then blurs with 4x the kernel.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

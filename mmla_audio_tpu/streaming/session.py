@@ -36,7 +36,7 @@ from mmla_audio_tpu.data.wavio import write_wav
 from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
 from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature
 from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
-from mmla_audio_tpu.vad import calibrate_threshold, collect_mask, energy_vad, vad_trim
+from mmla_audio_tpu.vad import calibrate_threshold, energy_vad, vad_trim
 from mmla_audio_tpu.vad.collector import frame_count
 
 __all__ = ["session_stamp", "StreamingSession", "OverlapSession",

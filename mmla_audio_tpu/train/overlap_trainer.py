@@ -9,7 +9,7 @@ a confusion matrix (`evaluation`, :513-543).
 
 from __future__ import annotations
 
-from pathlib import Path
+
 from typing import Dict, Optional, Tuple
 
 import jax

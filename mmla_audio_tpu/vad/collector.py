@@ -27,13 +27,12 @@ exact state-machine parity.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmla_audio_tpu.core.config import VadConfig
+
 
 __all__ = ["frame_count", "collect_mask", "apply_mask", "vad_trim",
            "energy_vad", "calibrate_threshold"]

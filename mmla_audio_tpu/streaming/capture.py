@@ -152,18 +152,21 @@ class CaptureThread:
 
     def read_window(self, n_samples: int, timeout: float = 10.0
                     ) -> Optional[np.ndarray]:
-        """Block until a whole window is available (or timeout/EOF)."""
+        """Block until a WHOLE window is available; None on timeout/EOF.
+        A sub-window tail left at EOF is dropped (it is < one capture chunk,
+        far below the silent gate)."""
         deadline = time.time() + timeout
-        while time.time() < deadline:
+        while True:
             out = self.ring.pop(n_samples)
             if out is not None:
                 return out
             if (getattr(self.source, "exhausted", False)
                     and self.ring.available < n_samples):
-                tail = self.ring.pop_upto(n_samples)
-                return tail if len(tail) else None
+                self.ring.clear()
+                return None
+            if time.time() >= deadline:
+                return None
             time.sleep(0.001)
-        return None
 
     def stop(self):
         self._stop.set()

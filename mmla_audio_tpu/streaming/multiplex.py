@@ -1,0 +1,192 @@
+"""Multi-stream serving: many live conversations, one device program.
+
+The single-chip benchmark sustains tens of thousands of realtime streams ONLY
+if windows from concurrent sessions are batched; the reference architecture
+(one process, one stream, batch 1) cannot use that headroom.  ``Multiplexer``
+owns k streams, each with its own capture ring, session log, and noise
+profile; every tick it gathers whichever streams have a full 2.56 s window
+ready, stacks them (padding the batch to a fixed bucket size so XLA reuses
+one compiled program), runs the fused denoise->VAD->featurize->predict
+batch once, and demuxes labels back to the per-stream logs.
+
+This is pure data parallelism over the batch axis, so the same program runs
+sharded over a mesh via ``parallel.DataParallel`` when more than one chip is
+available (pass ``mesh=``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
+from mmla_audio_tpu.core.config import PipelineConfig
+from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
+from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature_batch
+from mmla_audio_tpu.streaming.session import _quantize_i16
+from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
+from mmla_audio_tpu.vad import energy_vad, vad_trim
+from mmla_audio_tpu.vad.collector import frame_count
+
+__all__ = ["Stream", "Multiplexer"]
+
+
+class Stream:
+    """One conversation: capture thread + log + calibration state."""
+
+    def __init__(self, name: str, capture, log: SessionLog,
+                 noise_thresh, vad_threshold_db: float,
+                 label_names: Optional[Dict[str, str]] = None):
+        self.name = name
+        self.capture = capture
+        self.log = log
+        self.noise_thresh = noise_thresh
+        self.vad_threshold_db = vad_threshold_db
+        self.label_names = label_names
+        self.results: List[tuple] = []
+        self.done = False
+
+
+class Multiplexer:
+    """Batch windows across streams into one fused program per tick.
+
+    ``kind``: 'overlap' or 'speaker'.  ``bucket`` fixes the compiled batch
+    size; ticks with fewer ready windows are padded (masked rows are cheap —
+    one window of compute each).
+    """
+
+    def __init__(self, predictor, dirs: ExperimentDirs | str, *,
+                 kind: str = "overlap", bucket: int = 8,
+                 cfg: PipelineConfig = PipelineConfig(), mesh=None):
+        self.predictor = predictor
+        self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
+        self.kind = kind
+        self.bucket = bucket
+        self.cfg = cfg
+        self.mesh = mesh
+        self.streams: List[Stream] = []
+        self._build_program()
+
+    def _build_program(self):
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+        frame_len = int(sr * cfg.vad.frame_ms / 1000)
+        n_win = cfg.audio.window_samples
+        T = frame_count(n_win, frame_len)
+        use_speaker = self.kind == "speaker"
+
+        def one(raw, noise_thresh, vad_thr):
+            y = raw / 32768.0
+            y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
+                             passes=cfg.denoise.passes_live)
+            i16 = _quantize_i16(y)
+            frames = i16[: T * frame_len].reshape(T, frame_len)
+            decisions = energy_vad(frames, vad_thr)
+            trimmed, n_out = vad_trim(i16, jnp.asarray(n_win), decisions,
+                                      frame_len, cfg.vad.ring_frames)
+            return trimmed, n_out
+
+        def batch_fn(variables, raws, noise_threshs, vad_thrs):
+            trimmed, n_out = jax.vmap(one)(raws, noise_threshs, vad_thrs)
+            if use_speaker:
+                feats, _ = speaker_feature_batch(trimmed, n_out,
+                                                 cfg.speaker_feature)
+                logits = self.predictor.model.apply(variables, feats)
+                silent = n_out < cfg.speaker_feature.silent_samples
+            else:
+                masked = jnp.where(
+                    jnp.arange(trimmed.shape[-1]) < n_out[:, None],
+                    trimmed, 0.0)[:, : cfg.overlap_feature.n_samples] / 32768.0
+                img = overlap_model_input(masked, cfg.overlap_feature)
+                logits = self.predictor.model.apply(variables, img)
+                silent = n_out < cfg.vad.silent_samples
+            labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.where(silent, -1, labels)
+
+        if self.mesh is not None:
+            from mmla_audio_tpu.parallel import DataParallel
+
+            self._program = DataParallel(batch_fn, self.mesh)
+        else:
+            self._program = jax.jit(batch_fn)
+
+    # -- stream management --------------------------------------------------------
+    def add_stream(self, name: str, capture, noise_clip_i16: np.ndarray,
+                   label_names: Optional[Dict[str, str]] = None,
+                   now: Optional[datetime] = None) -> Stream:
+        from mmla_audio_tpu.streaming.session import session_stamp
+        from mmla_audio_tpu.vad import calibrate_threshold
+
+        log = SessionLog(self.dirs.logs / f"{session_stamp(now)}-{name}.txt",
+                         kind=self.kind, start_index=1)
+        nf = noise_clip_i16.astype(np.float32) / 32768.0
+        stream = Stream(
+            name, capture, log,
+            noise_thresh=np.asarray(noise_threshold(jnp.asarray(nf),
+                                                    self.cfg.denoise)),
+            vad_threshold_db=calibrate_threshold(
+                noise_clip_i16, self.cfg.vad.aggressiveness),
+            label_names=label_names)
+        self.streams.append(stream)
+        return stream
+
+    def _label_name(self, stream: Stream, label: int) -> str:
+        if label < 0:
+            return "silent"
+        if stream.label_names is not None:
+            return stream.label_names.get(str(label), str(label))
+        if self.kind == "overlap":
+            return OVERLAP_LABELS[str(label)]
+        return str(label)
+
+    # -- serving loop ----------------------------------------------------------------
+    def tick(self, timeout: float = 0.0) -> int:
+        """Gather ready windows (up to ``bucket``), run one batch, log.
+        Returns the number of windows decided this tick."""
+        n_win = self.cfg.audio.window_samples
+        ready: List[tuple] = []
+        for stream in self.streams:
+            if stream.done or len(ready) >= self.bucket:
+                continue
+            window = stream.capture.read_window(n_win, timeout=timeout)
+            if window is None:
+                if getattr(stream.capture.source, "exhausted", False):
+                    stream.done = True
+                continue
+            ready.append((stream, window))
+        if not ready:
+            return 0
+
+        raws = np.zeros((self.bucket, n_win), np.float32)
+        nts = np.zeros((self.bucket,) + np.shape(ready[0][0].noise_thresh),
+                       np.float32)
+        vts = np.zeros((self.bucket,), np.float32)
+        for i, (stream, window) in enumerate(ready):
+            raws[i] = window.astype(np.float32)
+            nts[i] = stream.noise_thresh
+            vts[i] = stream.vad_threshold_db
+
+        labels = self._program(self.predictor.variables,
+                               jnp.asarray(raws), jnp.asarray(nts),
+                               jnp.asarray(vts))
+        labels = np.asarray(labels)
+        ts = datetime.today()
+        for i, (stream, _) in enumerate(ready):
+            name = self._label_name(stream, int(labels[i]))
+            idx = stream.log.append(name, ts)
+            stream.results.append((idx, name, ts))
+        return len(ready)
+
+    def run_until_exhausted(self, max_ticks: int = 10_000) -> int:
+        """Drive replay/fake streams to completion; returns total decisions."""
+        total = 0
+        for _ in range(max_ticks):
+            got = self.tick(timeout=0.05)
+            total += got
+            if got == 0 and all(s.done for s in self.streams):
+                break
+        return total

@@ -1,0 +1,100 @@
+"""Multi-stream multiplexer: batching across concurrent sessions."""
+
+import numpy as np
+import jax
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.analyze.logs import parse_log
+from mmla_audio_tpu.inference import OverlapPredictor, SpeakerPredictor
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.parallel import make_mesh
+from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+from mmla_audio_tpu.streaming.multiplex import Multiplexer
+from mmla_audio_tpu.streaming.session import OverlapSession
+
+
+def _noise(seed=0, amp=15):
+    return (np.random.RandomState(seed).randn(160000) * amp).astype(np.int16)
+
+
+def _make_mux(tmp_path, n_streams=3, windows_each=2, mesh=None, bucket=4):
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap",
+                      bucket=bucket, mesh=mesh)
+    caps = []
+    for s in range(n_streams):
+        audio = np.concatenate(
+            [synth_speech_i16(40960, seed=s * 10 + w)
+             for w in range(windows_each)])
+        cap = CaptureThread(ArraySource(audio)).start()
+        caps.append(cap)
+        mux.add_stream(f"conv{s}", cap, _noise(seed=s))
+    return mux, caps
+
+
+def test_multiplexer_overlap_streams(tmp_path):
+    mux, caps = _make_mux(tmp_path, n_streams=3, windows_each=2)
+    total = mux.run_until_exhausted()
+    for c in caps:
+        c.stop()
+    assert total == 6
+    for stream in mux.streams:
+        assert len(stream.results) == 2
+        rows = parse_log(stream.log.path)
+        assert [r[0] for r in rows] == [1, 2]
+        assert all(r[1] in ("non-overlapped", "overlapped", "silent")
+                   for r in rows)
+    logs = list((tmp_path / "experiment" / "logs").glob("*.txt"))
+    assert len(logs) == 3
+
+
+def test_multiplexer_matches_single_session_labels(tmp_path):
+    """Batched multiplexed decisions == the single-stream session decisions
+    for the same audio and noise profile."""
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    audio = np.concatenate([synth_speech_i16(40960, seed=7),
+                            np.zeros(40960, np.int16)])
+    noise = _noise(seed=3)
+
+    cap1 = CaptureThread(ArraySource(audio)).start()
+    sess = OverlapSession(pred, cap1, tmp_path / "exp_single")
+    sess.set_noise_profile(noise)
+    single = [r[1] for r in sess.run(max_windows=2)]
+    cap1.stop()
+
+    mux = Multiplexer(pred, tmp_path / "exp_mux", kind="overlap", bucket=2)
+    cap2 = CaptureThread(ArraySource(audio)).start()
+    stream = mux.add_stream("a", cap2, noise)
+    mux.run_until_exhausted()
+    cap2.stop()
+    muxed = [r[1] for r in stream.results]
+    assert muxed == single
+
+
+def test_multiplexer_on_mesh(tmp_path):
+    mesh = make_mesh()
+    mux, caps = _make_mux(tmp_path, n_streams=4, windows_each=1, mesh=mesh,
+                          bucket=8)
+    total = mux.run_until_exhausted()
+    for c in caps:
+        c.stop()
+    assert total == 4
+
+
+def test_multiplexer_speaker_kind(tmp_path):
+    pred = SpeakerPredictor(
+        SpeakerResBLSTM(head_units=2).init_variables(jax.random.PRNGKey(1)),
+        head_units=2, sigmoid_head=True)
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="speaker", bucket=2)
+    audio = synth_speech_i16(40960, seed=9)
+    cap = CaptureThread(ArraySource(audio)).start()
+    stream = mux.add_stream("s", cap, _noise(seed=1),
+                            label_names={"0": "alice", "1": "bob"})
+    total = mux.run_until_exhausted()
+    cap.stop()
+    assert total == 1
+    assert stream.results[0][1] in ("alice", "bob", "silent")

@@ -25,6 +25,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=50)
+    ap.add_argument("--streams", type=int, default=1,
+                    help=">1 uses the multi-stream Multiplexer")
     args = ap.parse_args()
 
     import jax
@@ -39,27 +41,61 @@ def main():
     cfg = PipelineConfig()
     pred = OverlapPredictor(
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
-    cap = CaptureThread(FakePCMSource(cfg.audio, seed=0, realtime=False),
-                        cfg.audio).start()
-    with tempfile.TemporaryDirectory() as root:
-        sess = OverlapSession(pred, cap, root, cfg=cfg)
-        sess.set_noise_profile(
-            (np.random.RandomState(1).randn(160000) * 20).astype(np.int16))
-        sess.run(max_windows=2)                      # compile + warm
+    noise = (np.random.RandomState(1).randn(160000) * 20).astype(np.int16)
+    meter = RtfMeter(cfg.audio.window_seconds)
 
-        meter = RtfMeter(cfg.audio.window_seconds)
-        t0 = time.perf_counter()
-        results = sess.run(max_windows=args.windows)
-        dt = time.perf_counter() - t0
-        meter.record(dt, len(results))
-    cap.stop()
+    if args.streams == 1:
+        cap = CaptureThread(FakePCMSource(cfg.audio, seed=0, realtime=False),
+                            cfg.audio).start()
+        with tempfile.TemporaryDirectory() as root:
+            sess = OverlapSession(pred, cap, root, cfg=cfg)
+            sess.set_noise_profile(noise)
+            sess.run(max_windows=2)                  # compile + warm
+            t0 = time.perf_counter()
+            results = sess.run(max_windows=args.windows)
+            dt = time.perf_counter() - t0
+            n_decided = len(results)
+        cap.stop()
+        overruns = int(getattr(cap.ring, "overruns", 0))
+        metric = "live_session_rtf_single_stream"
+    else:
+        from mmla_audio_tpu.streaming.multiplex import Multiplexer
+
+        with tempfile.TemporaryDirectory() as root:
+            mux = Multiplexer(pred, root, kind="overlap",
+                              bucket=args.streams, cfg=cfg)
+            caps = []
+            total_samples = (args.windows + 2) * cfg.audio.window_samples
+            for s in range(args.streams):
+                src = FakePCMSource(cfg.audio, seed=s, realtime=False)
+                from mmla_audio_tpu.streaming.capture import ArraySource
+
+                cap = CaptureThread(
+                    ArraySource(src.read(total_samples)), cfg.audio).start()
+                caps.append(cap)
+                mux.add_stream(f"s{s}", cap, noise)
+            mux.tick(timeout=2.0)                    # compile + warm
+            t0 = time.perf_counter()
+            n_decided = 0
+            while n_decided < args.windows * args.streams:
+                got = mux.tick(timeout=2.0)
+                if got == 0:
+                    break
+                n_decided += got
+            dt = time.perf_counter() - t0
+        for c in caps:
+            c.stop()
+        overruns = sum(int(getattr(c.ring, "overruns", 0)) for c in caps)
+        metric = f"live_session_rtf_{args.streams}_streams"
+
+    meter.record(dt, n_decided)
     print(json.dumps({
-        "metric": "live_session_rtf_single_stream",
+        "metric": metric,
         "value": round(meter.rtf, 2),
         "unit": "x realtime",
-        "windows": len(results),
-        "per_window_ms": round(dt / max(len(results), 1) * 1000, 2),
-        "ring_overruns": int(getattr(cap.ring, "overruns", 0)),
+        "windows": n_decided,
+        "per_window_ms": round(dt / max(n_decided, 1) * 1000, 2),
+        "ring_overruns": overruns,
     }))
 
 

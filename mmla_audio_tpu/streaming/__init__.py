@@ -5,6 +5,7 @@ from mmla_audio_tpu.streaming.capture import (
     PyAudioSource,
 )
 from mmla_audio_tpu.streaming.edge import EdgeOverlapSession, GateSource
+from mmla_audio_tpu.streaming.multiplex import Multiplexer, Stream
 from mmla_audio_tpu.streaming.native import (
     NativeRingBuffer,
     PyRingBuffer,
@@ -25,6 +26,8 @@ __all__ = [
     "PyAudioSource",
     "EdgeOverlapSession",
     "GateSource",
+    "Multiplexer",
+    "Stream",
     "NativeRingBuffer",
     "PyRingBuffer",
     "load_native",

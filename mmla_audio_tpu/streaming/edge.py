@@ -95,9 +95,10 @@ class EdgeOverlapSession(StreamingSession):
         label, probs, sim = self._fused(
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)), self.noise_thresh)
+        label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
-        return name, np.asarray(probs)
+        return name, probs
 
     # run() is inherited: StreamingSession handles the gate-driven
     # suspend/resume state machine for every session kind.

@@ -204,9 +204,10 @@ class OverlapSession(StreamingSession):
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),
             self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+        label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
-        return name, np.asarray(probs)
+        return name, probs
 
 
 class SpeakerSession(StreamingSession):
@@ -224,10 +225,11 @@ class SpeakerSession(StreamingSession):
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),
             self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+        label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else \
             self.speaker_id_dict.get(str(label), str(label))
-        return name, np.asarray(probs)
+        return name, probs
 
     # -- registration ------------------------------------------------------------
     def register_speaker(self, name: str,

@@ -1,0 +1,211 @@
+"""Keras weight import: reference-trained models -> mmla_audio_tpu params.
+
+The reference ships TIMIT-trained Keras SavedModels (weight blobs stripped in
+this mount, but users of the original repo have them).  Keras
+``model.get_weights()`` returns a flat list of arrays in layer-creation
+order; per layer: Conv [kernel(HWIO), bias], BatchNorm [gamma, beta,
+moving_mean, moving_var], Bidirectional(LSTM) [fwd_kernel(C,4H),
+fwd_recurrent(H,4H), fwd_bias(4H), bwd_kernel, bwd_recurrent, bwd_bias]
+(gate order i,f,c,o — identical to models.layers.LSTM), Dense [kernel, bias].
+Conv kernels are HWIO in both frameworks, so no transposition is needed;
+this module only re-nests the flat list into the Flax variable tree.
+
+Layer-creation order is fixed by the reference model builders:
+`overlap_detector.py:362-390` (stem; per block: [shortcut if pooled], BN,
+conv3x3, BN, conv4x1; then BiLSTM, Dense) and
+`speaker_identification.py:168-218` (stem; per unit: [shortcut if pooled],
+BN, conv3, BN, conv3; final BN; BiLSTM; Dense).
+
+Validated by round-trip tests: params -> flat Keras-order list -> params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List
+
+import numpy as np
+
+from mmla_audio_tpu.core.config import OverlapModelConfig, SpeakerModelConfig
+
+__all__ = [
+    "overlap_variables_from_keras",
+    "overlap_variables_to_keras",
+    "speaker_variables_from_keras",
+    "speaker_variables_to_keras",
+]
+
+
+class _Cursor:
+    def __init__(self, flat: List[np.ndarray]):
+        self.flat = flat
+        self.i = 0
+
+    def take(self, n: int) -> List[np.ndarray]:
+        out = self.flat[self.i: self.i + n]
+        assert len(out) == n, f"ran out of weights at index {self.i}"
+        self.i += n
+        return out
+
+    def done(self):
+        assert self.i == len(self.flat), \
+            f"{len(self.flat) - self.i} unconsumed weights"
+
+
+def _conv(c: _Cursor) -> Dict[str, np.ndarray]:
+    k, b = c.take(2)
+    return {"kernel": np.asarray(k), "bias": np.asarray(b)}
+
+
+def _bn(c: _Cursor):
+    g, b, mean, var = c.take(4)
+    return ({"scale": np.asarray(g), "bias": np.asarray(b)},
+            {"mean": np.asarray(mean), "var": np.asarray(var)})
+
+
+def _lstm(c: _Cursor) -> Dict[str, np.ndarray]:
+    k, r, b = c.take(3)
+    return {"kernel": np.asarray(k), "recurrent_kernel": np.asarray(r),
+            "bias": np.asarray(b)}
+
+
+def _bilstm(c: _Cursor) -> Dict[str, Any]:
+    return {"forward": _lstm(c), "backward": _lstm(c)}
+
+
+def _block2d(c: _Cursor, pool: bool):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if pool:
+        params["shortcut"] = _conv(c)
+    p0, s0 = _bn(c)
+    params["KerasBatchNorm_0"] = {"BatchNorm_0": p0}
+    stats["KerasBatchNorm_0"] = {"BatchNorm_0": s0}
+    params["Conv_0"] = _conv(c)
+    p1, s1 = _bn(c)
+    params["KerasBatchNorm_1"] = {"BatchNorm_0": p1}
+    stats["KerasBatchNorm_1"] = {"BatchNorm_0": s1}
+    params["Conv_1"] = _conv(c)
+    return params, stats
+
+
+def overlap_variables_from_keras(flat: List[np.ndarray],
+                                 cfg: OverlapModelConfig = OverlapModelConfig()
+                                 ) -> Dict[str, Any]:
+    """Flat Keras get_weights() list -> {'params', 'batch_stats'}."""
+    c = _Cursor(list(flat))
+    params: Dict[str, Any] = {"stem": _conv(c)}
+    stats: Dict[str, Any] = {}
+    for stage in range(len(cfg.stage_filters)):
+        for block in range(cfg.blocks_per_stage):
+            p, s = _block2d(c, pool=(block == 0))
+            params[f"stage{stage}_block{block}"] = p
+            stats[f"stage{stage}_block{block}"] = s
+    params["BiLSTM_0"] = _bilstm(c)
+    params["head"] = _conv(c)        # Dense: kernel + bias
+    c.done()
+    return {"params": params, "batch_stats": stats}
+
+
+def _emit_conv(out, p):
+    out.extend([np.asarray(p["kernel"]), np.asarray(p["bias"])])
+
+
+def _emit_bn(out, p, s):
+    out.extend([np.asarray(p["scale"]), np.asarray(p["bias"]),
+                np.asarray(s["mean"]), np.asarray(s["var"])])
+
+
+def _emit_bilstm(out, p):
+    for d in ("forward", "backward"):
+        out.extend([np.asarray(p[d]["kernel"]),
+                    np.asarray(p[d]["recurrent_kernel"]),
+                    np.asarray(p[d]["bias"])])
+
+
+def overlap_variables_to_keras(variables: Dict[str, Any],
+                               cfg: OverlapModelConfig = OverlapModelConfig()
+                               ) -> List[np.ndarray]:
+    """Inverse mapping (for export / round-trip testing)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    out: List[np.ndarray] = []
+    _emit_conv(out, p["stem"])
+    for stage in range(len(cfg.stage_filters)):
+        for block in range(cfg.blocks_per_stage):
+            bp = p[f"stage{stage}_block{block}"]
+            bs = s[f"stage{stage}_block{block}"]
+            if block == 0:
+                _emit_conv(out, bp["shortcut"])
+            _emit_bn(out, bp["KerasBatchNorm_0"]["BatchNorm_0"],
+                     bs["KerasBatchNorm_0"]["BatchNorm_0"])
+            _emit_conv(out, bp["Conv_0"])
+            _emit_bn(out, bp["KerasBatchNorm_1"]["BatchNorm_0"],
+                     bs["KerasBatchNorm_1"]["BatchNorm_0"])
+            _emit_conv(out, bp["Conv_1"])
+    _emit_bilstm(out, p["BiLSTM_0"])
+    _emit_conv(out, p["head"])
+    return out
+
+
+def _unit1d(c: _Cursor, pool: bool):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if pool:
+        params["shortcut"] = _conv(c)
+    p0, s0 = _bn(c)
+    params["KerasBatchNorm_0"] = {"BatchNorm_0": p0}
+    stats["KerasBatchNorm_0"] = {"BatchNorm_0": s0}
+    params["conv_a"] = _conv(c)
+    p1, s1 = _bn(c)
+    params["KerasBatchNorm_1"] = {"BatchNorm_0": p1}
+    stats["KerasBatchNorm_1"] = {"BatchNorm_0": s1}
+    params["conv_b"] = _conv(c)
+    return params, stats
+
+
+def speaker_variables_from_keras(flat: List[np.ndarray],
+                                 cfg: SpeakerModelConfig = SpeakerModelConfig(),
+                                 head_units: int | None = None
+                                 ) -> Dict[str, Any]:
+    c = _Cursor(list(flat))
+    trunk: Dict[str, Any] = {"stem": _conv(c)}
+    tstats: Dict[str, Any] = {}
+    for stage in range(len(cfg.stage_filters)):
+        for unit in range(cfg.blocks_per_stage):
+            p, s = _unit1d(c, pool=(unit == 0))
+            trunk[f"stage{stage}_unit{unit}"] = p
+            tstats[f"stage{stage}_unit{unit}"] = s
+    pf, sf = _bn(c)
+    trunk["KerasBatchNorm_0"] = {"BatchNorm_0": pf}
+    tstats["KerasBatchNorm_0"] = {"BatchNorm_0": sf}
+    trunk["BiLSTM_0"] = _bilstm(c)
+    head = _conv(c)
+    c.done()
+    return {"params": {"trunk": trunk, "head": head},
+            "batch_stats": {"trunk": tstats}}
+
+
+def speaker_variables_to_keras(variables: Dict[str, Any],
+                               cfg: SpeakerModelConfig = SpeakerModelConfig()
+                               ) -> List[np.ndarray]:
+    p = variables["params"]["trunk"]
+    s = variables["batch_stats"]["trunk"]
+    out: List[np.ndarray] = []
+    _emit_conv(out, p["stem"])
+    for stage in range(len(cfg.stage_filters)):
+        for unit in range(cfg.blocks_per_stage):
+            up = p[f"stage{stage}_unit{unit}"]
+            us = s[f"stage{stage}_unit{unit}"]
+            if unit == 0:
+                _emit_conv(out, up["shortcut"])
+            _emit_bn(out, up["KerasBatchNorm_0"]["BatchNorm_0"],
+                     us["KerasBatchNorm_0"]["BatchNorm_0"])
+            _emit_conv(out, up["conv_a"])
+            _emit_bn(out, up["KerasBatchNorm_1"]["BatchNorm_0"],
+                     us["KerasBatchNorm_1"]["BatchNorm_0"])
+            _emit_conv(out, up["conv_b"])
+    _emit_bn(out, p["KerasBatchNorm_0"]["BatchNorm_0"],
+             s["KerasBatchNorm_0"]["BatchNorm_0"])
+    _emit_bilstm(out, p["BiLSTM_0"])
+    _emit_conv(out, variables["params"]["head"])
+    return out

@@ -1,0 +1,68 @@
+"""Keras weight-list conversion: round-trip + forward equality."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmla_audio_tpu.convert import (
+    overlap_variables_from_keras,
+    overlap_variables_to_keras,
+    speaker_variables_from_keras,
+    speaker_variables_to_keras,
+)
+from mmla_audio_tpu.core.config import OverlapModelConfig, SpeakerModelConfig
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+
+def _trees_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    assert len(la) == len(lb)
+    for (pa, va), (pb, vb) in zip(la, lb):
+        assert pa == pb, (pa, pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(pa))
+
+
+def test_overlap_keras_roundtrip():
+    cfg = OverlapModelConfig(stage_filters=(4, 8), blocks_per_stage=2,
+                             lstm_units=4, num_classes=2)
+    model = OverlapResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    flat = overlap_variables_to_keras(v, cfg)
+    # reference graph: per pooled block 1 extra conv; weight count sanity
+    n_blocks = 2 * 2
+    expected = 2 + n_blocks * (2 * 2 + 2 * 4) + 2 * 2 + 6 + 2  # stem+blocks+shortcuts+bilstm+head
+    assert len(flat) == expected, (len(flat), expected)
+    back = overlap_variables_from_keras(flat, cfg)
+    _trees_equal(v["params"], back["params"])
+    _trees_equal(v["batch_stats"], back["batch_stats"])
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 151, 3) * 255,
+                    jnp.float32)
+    np.testing.assert_array_equal(np.asarray(model.apply(v, x)),
+                                  np.asarray(model.apply(back, x)))
+
+
+def test_speaker_keras_roundtrip():
+    cfg = SpeakerModelConfig(stage_filters=(4, 8), blocks_per_stage=2,
+                             lstm_units=4, num_speakers=5)
+    model = SpeakerResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(1))
+    flat = speaker_variables_to_keras(v, cfg)
+    back = speaker_variables_from_keras(flat, cfg)
+    _trees_equal(v["params"], back["params"])
+    _trees_equal(v["batch_stats"], back["batch_stats"])
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 256, 39), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(model.apply(v, x)),
+                                  np.asarray(model.apply(back, x)))
+
+
+def test_full_size_overlap_weight_count():
+    """The deployed timit2.0 graph has 22 convs + 18 BNs + BiLSTM + Dense:
+    22*2 + 18*4 + 6 + 2 = 124 arrays."""
+    cfg = OverlapModelConfig()
+    model = OverlapResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    flat = overlap_variables_to_keras(v, cfg)
+    assert len(flat) == 124

@@ -1,0 +1,105 @@
+"""Malformed-input robustness for the WAV readers (host attack surface)."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.data.wavio import read_wav, write_wav
+from mmla_audio_tpu.streaming.native import load_native
+
+
+def _native():
+    lib = load_native()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    return lib
+
+
+def _native_read(lib, path):
+    out = ctypes.POINTER(ctypes.c_int16)()
+    rate = ctypes.c_int32()
+    n = lib.wav_read(str(path).encode(), ctypes.byref(out), ctypes.byref(rate))
+    if n >= 0:
+        lib.wav_free(out)
+    return n
+
+
+def test_native_rejects_not_a_wav(tmp_path):
+    p = tmp_path / "x.wav"
+    p.write_bytes(b"this is not a riff file at all")
+    assert _native_read(_native(), p) < 0
+
+
+def test_native_rejects_truncated_header(tmp_path):
+    p = tmp_path / "t.wav"
+    p.write_bytes(b"RI")
+    assert _native_read(_native(), p) < 0
+
+
+def test_native_rejects_missing_file(tmp_path):
+    assert _native_read(_native(), tmp_path / "nope.wav") < 0
+
+
+def test_native_rejects_wrong_bits(tmp_path):
+    # valid RIFF/WAVE but 8-bit PCM
+    import struct
+    data = b"\x00" * 100
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    p = tmp_path / "b8.wav"
+    p.write_bytes(hdr)
+    assert _native_read(_native(), p) < 0
+
+
+def test_native_truncated_data_chunk(tmp_path):
+    sig = synth_speech_i16(4000, seed=0)
+    p = tmp_path / "trunc.wav"
+    write_wav(p, sig)
+    raw = p.read_bytes()
+    p.write_bytes(raw[: len(raw) // 2])      # cut the data chunk short
+    assert _native_read(_native(), p) < 0    # must fail, not crash
+
+
+def test_python_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "g.wav"
+    p.write_bytes(b"garbage" * 10)
+    with pytest.raises(Exception):
+        read_wav(p)
+
+
+def test_python_reader_rejects_bad_rate(tmp_path):
+    import wave
+    p = tmp_path / "rate.wav"
+    with wave.open(str(p), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)               # not in the allowed set
+        wf.writeframes(b"\x00\x00" * 100)
+    with pytest.raises(AssertionError):
+        read_wav(p)
+
+
+def test_native_extra_chunks_skipped(tmp_path):
+    """LIST/INFO chunks before data must be skipped, not break parsing."""
+    import struct
+    sig = synth_speech_i16(1000, seed=1)
+    data = sig.tobytes()
+    listchunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + listchunk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p = tmp_path / "chunks.wav"
+    p.write_bytes(hdr)
+    lib = _native()
+    out = ctypes.POINTER(ctypes.c_int16)()
+    rate = ctypes.c_int32()
+    n = lib.wav_read(str(p).encode(), ctypes.byref(out), ctypes.byref(rate))
+    assert n == len(sig) and rate.value == 16000
+    back = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.wav_free(out)
+    np.testing.assert_array_equal(back, sig)

@@ -11,7 +11,7 @@ session loop (telemetry is fire-and-forget).
 from __future__ import annotations
 
 import json
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Optional
 
 __all__ = ["TelemetryClient"]
@@ -32,7 +32,9 @@ class TelemetryClient:
 
     def format_payload(self, value: str, time: Optional[datetime] = None) -> str:
         """send_fruit_io payload: isoformat with micros stripped + 'Z'."""
-        ts = (time or datetime.utcnow()).isoformat()
+        if time is None:
+            time = datetime.now(timezone.utc).replace(tzinfo=None)
+        ts = time.isoformat()
         ts = ts[:-7] + "Z" if len(ts) > 19 else ts + "Z"
         return json.dumps({"value": value, "created_at": ts})
 

@@ -269,7 +269,6 @@ def cmd_overlap_train(args):
             sig, _ = read_wav(p)
             xs.append(sig[:24000].astype(np.float32) / 32768.0)
             ys.append(label)
-    pad = max(len(x) for x in xs)
     buf = np.zeros((len(xs), 24000), np.float32)
     for i, x in enumerate(xs):
         buf[i, :len(x)] = x[:24000]

@@ -2,21 +2,27 @@
 
 The reference trains the overlap detector from a directory of feature PNGs +
 an xlsx/csv label table (`overlap_detector.py:23-59` images_loader /
-labels_loader; `data_augmentation.py` writes `augmented_labels.csv`).  This
-loader ingests that on-disk format so corpora produced by the original
-scripts train directly here (PNG decode via cv2; labels from CSV — xlsx
-needs openpyxl which this image doesn't ship, so export to CSV first).
+labels_loader; `data_augmentation.py` writes `augmented_labels.csv`,
+`overlap_detector.py:281-309` __split_train_test writes Train/Test xlsx).
+This loader ingests both on-disk formats so corpora produced by the original
+scripts train directly here.  xlsx is parsed with a dependency-free reader
+(an .xlsx file is a zip of XML; stdlib zipfile + ElementTree suffice — no
+openpyxl/pandas in this image).
 """
 
 from __future__ import annotations
 
 import csv
+import re
+import zipfile
 from pathlib import Path
-from typing import List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
+from xml.etree import ElementTree
 
 import numpy as np
 
-__all__ = ["load_images", "load_labels_csv", "load_image_dataset", "one_hot"]
+__all__ = ["load_images", "load_labels_csv", "load_image_dataset", "one_hot",
+           "read_xlsx", "load_labels_xlsx"]
 
 
 def load_images(images_dir, names: Sequence[str] | None = None) -> Tuple[np.ndarray, List[str]]:
@@ -51,6 +57,96 @@ def one_hot(labels: Sequence[int], n_classes: int | None = None) -> np.ndarray:
     n = n_classes or int(labels.max()) + 1
     y = np.zeros((len(labels), n), np.float32)
     y[np.arange(len(labels)), labels] = 1.0
+    return y
+
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
+
+
+def _col_index(ref: str) -> int:
+    """Cell reference column letters -> 0-based index ('A'->0, 'AB'->27)."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def read_xlsx(path, sheet: int = 0) -> Tuple[List[str], List[List[Any]]]:
+    """Minimal .xlsx reader -> (header row, data rows).
+
+    Handles the cell types the reference's writers emit (pandas
+    to_excel / openpyxl, `overlap_detector.py:281-309`): shared strings
+    (t="s"), inline strings (t="inlineStr"/t="str"), booleans (t="b") and
+    numbers (ints returned as int, else float).  Sparse rows (skipped
+    cells) are densified via each cell's r= reference.
+    """
+    with zipfile.ZipFile(path) as zf:
+        shared: List[str] = []
+        try:
+            root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{_SSML}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+        except KeyError:
+            pass
+        sheets = sorted(n for n in zf.namelist()
+                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        if not sheets:
+            raise ValueError(f"no worksheets in {path}")
+        root = ElementTree.fromstring(zf.read(sheets[sheet]))
+
+    rows: List[List[Any]] = []
+    for row_el in root.iter(f"{_SSML}row"):
+        cells: Dict[int, Any] = {}
+        next_col = 0
+        for c in row_el.iter(f"{_SSML}c"):
+            ref = c.get("r")
+            col = _col_index(_CELL_REF.match(ref).group(1)) if ref else next_col
+            next_col = col + 1
+            ctype = c.get("t", "n")
+            v = c.find(f"{_SSML}v")
+            is_el = c.find(f"{_SSML}is")
+            if ctype == "s":
+                cells[col] = shared[int(v.text)]
+            elif ctype == "inlineStr":
+                cells[col] = "".join(t.text or "" for t in is_el.iter(f"{_SSML}t")) if is_el is not None else ""
+            elif ctype == "str":
+                cells[col] = v.text if v is not None else ""
+            elif ctype == "b":
+                cells[col] = bool(int(v.text))
+            elif v is not None and v.text is not None:
+                f = float(v.text)
+                cells[col] = int(f) if f == int(f) else f
+            else:
+                cells[col] = None
+        if cells:
+            width = max(cells) + 1
+            rows.append([cells.get(i) for i in range(width)])
+    if not rows:
+        return [], []
+    header = [str(h) if h is not None else "" for h in rows[0]]
+    width = len(header)
+    data = [r + [None] * (width - len(r)) for r in rows[1:]]
+    return header, data
+
+
+def load_labels_xlsx(label_path, *, sort_by: Sequence[str] = ("Sessions", "Segments"),
+                     label_col: str = "Overlap") -> np.ndarray:
+    """labels_loader (`overlap_detector.py:46-59`): read the Train/Test xlsx,
+    sort rows by (Sessions, Segments) ascending, one-hot encode the Overlap
+    column with sklearn-OneHotEncoder semantics (categories = sorted unique
+    values).  -> float32 (B, n_classes)."""
+    header, rows = read_xlsx(label_path)
+    col = {name: i for i, name in enumerate(header)}
+    missing = [c for c in (*sort_by, label_col) if c not in col]
+    if missing:
+        raise KeyError(f"{label_path}: missing columns {missing}; has {header}")
+    rows.sort(key=lambda r: tuple(r[col[c]] for c in sort_by))
+    labels = [r[col[label_col]] for r in rows]
+    cats = sorted(set(labels))
+    index = {c: i for i, c in enumerate(cats)}
+    y = np.zeros((len(labels), len(cats)), np.float32)
+    y[np.arange(len(labels)), [index[l] for l in labels]] = 1.0
     return y
 
 

@@ -40,7 +40,6 @@ class ResUnit1D(nn.Module):
 
     filters: int
     pool: bool = False
-    l2: float = 0.0
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
 
@@ -71,10 +70,12 @@ class SpeakerTrunk(nn.Module):
         cfg = self.cfg
         net = nn.Conv(cfg.stem_filters, (cfg.stem_kernel,), padding="SAME",
                       name="stem")(x)
-        for stage, (f, l2c) in enumerate(zip(cfg.stage_filters, cfg.stage_l2)):
+        # L2 on the inner convs of non-pooled units (stages 1/2) is applied in
+        # the loss by ``l2_penalty`` below — Keras regularizers live in the
+        # loss, not the layer, so the unit itself carries no l2 state.
+        for stage, f in enumerate(cfg.stage_filters):
             for block in range(cfg.blocks_per_stage):
-                reg = l2c if block > 0 else 0.0   # first (pooled) unit unregularized
-                net = ResUnit1D(f, pool=(block == 0), l2=reg,
+                net = ResUnit1D(f, pool=(block == 0),
                                 bn_momentum=cfg.bn_momentum, bn_eps=cfg.bn_eps,
                                 name=f"stage{stage}_unit{block}")(net, train)
         net = KerasBatchNorm(cfg.bn_momentum, cfg.bn_eps)(net, train)

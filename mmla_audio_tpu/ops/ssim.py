@@ -1,8 +1,10 @@
 """Structural similarity (SSIM) — the Pi runner's silence gate.
 
 `OverlapDetection/scripts/record_on_pi.py:39-48`: SSIM between the feature
-images of the raw vs denoised window, multichannel; similarity >= 0.3 means
-the window is (mostly) noise => silent.  Implemented with skimage defaults
+images of the raw vs denoised window, multichannel; similarity **< 0.3**
+means denoising wiped the features (the window was mostly noise) => treat
+as silent.  High similarity (>= 0.3) means real speech content survived
+denoising and the window proceeds to the model.  Implemented with skimage defaults
 for uint8-scale images: 7x7 uniform windows, C1=(0.01*255)^2, C2=(0.03*255)^2,
 mean over all windows and channels.
 """

@@ -195,14 +195,20 @@ class Trainer:
         patience_left = early_stop_patience
         for epoch in range(epochs):
             if lr_schedule_epoch is not None:
-                # epoch-indexed LR via injectable hyperparams is handled by
-                # building tx with optax.inject_hyperparams upstream; here we
-                # emulate the Keras callback by scaling the opt_state lr.
-                try:
-                    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                        lr_schedule_epoch(epoch), jnp.float32)
-                except (AttributeError, TypeError):
-                    pass
+                # epoch-indexed LR emulating the Keras callback: requires the
+                # optimizer to be wrapped in optax.inject_hyperparams so the
+                # lr is a mutable leaf of opt_state rather than a traced
+                # constant.  Silently ignoring the schedule otherwise would
+                # train at a fixed lr without any signal — refuse instead.
+                hyperparams = getattr(state.opt_state, "hyperparams", None)
+                if hyperparams is None or "learning_rate" not in hyperparams:
+                    raise ValueError(
+                        "lr_schedule_epoch requires an optimizer built with "
+                        "optax.inject_hyperparams(...)(learning_rate=...) so "
+                        "the learning rate is schedulable; got opt_state of "
+                        f"type {type(state.opt_state).__name__}")
+                hyperparams["learning_rate"] = jnp.asarray(
+                    lr_schedule_epoch(epoch), jnp.float32)
             rng, ep_rng = jax.random.split(rng)
             state, loss, acc = self._epoch_jit(state, xp, yp, maskp, ep_rng,
                                                batch_size=batch_size)

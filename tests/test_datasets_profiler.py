@@ -87,3 +87,97 @@ def test_device_trace_smoke(tmp_path):
     with device_trace(str(tmp_path / "trace")):
         jnp.sum(jnp.ones((64, 64))).block_until_ready()
     assert any((tmp_path / "trace").rglob("*"))
+
+
+# --- xlsx label ingestion (labels_loader, overlap_detector.py:46-59) -------
+
+def _write_xlsx(path, header, rows):
+    """Hand-rolled minimal xlsx via zipfile — independent of read_xlsx."""
+    import zipfile
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    strings, string_ix = [], {}
+
+    def cell(r, c, v):
+        ref = f"{col_letter(c)}{r + 1}"
+        if isinstance(v, str):
+            if v not in string_ix:
+                string_ix[v] = len(strings)
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{string_ix[v]}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    all_rows = [header] + rows
+    sheet_rows = "".join(
+        f'<row r="{ri + 1}">' + "".join(
+            cell(ri, ci, v) for ci, v in enumerate(row) if v is not None)
+        + "</row>"
+        for ri, row in enumerate(all_rows))
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{sheet_rows}</sheetData></worksheet>'
+    sst = (f'<?xml version="1.0"?><sst {ns} count="{len(strings)}" '
+           f'uniqueCount="{len(strings)}">'
+           + "".join(f"<si><t>{s}</t></si>" for s in strings) + "</sst>")
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '</Types>')
+    wb = (f'<?xml version="1.0"?><workbook {ns}><sheets>'
+          '<sheet name="Sheet1" sheetId="1" r:id="rId1" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+          '</sheets></workbook>')
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_basic(tmp_path):
+    from mmla_audio_tpu.data.datasets import read_xlsx
+
+    p = tmp_path / "t.xlsx"
+    _write_xlsx(p, ["Sessions", "Segments", "Overlap"],
+                [["s1", 2, 1], ["s1", 1, 2], ["s0", 5, 1]])
+    header, rows = read_xlsx(p)
+    assert header == ["Sessions", "Segments", "Overlap"]
+    assert rows == [["s1", 2, 1], ["s1", 1, 2], ["s0", 5, 1]]
+
+
+def test_read_xlsx_sparse_rows(tmp_path):
+    # skipped cells must densify via the r= reference
+    from mmla_audio_tpu.data.datasets import read_xlsx
+
+    p = tmp_path / "sparse.xlsx"
+    _write_xlsx(p, ["A", "B", "C"], [["x", None, 3.5]])
+    header, rows = read_xlsx(p)
+    assert rows == [["x", None, 3.5]]
+
+
+def test_load_labels_xlsx_sorts_and_one_hot(tmp_path):
+    from mmla_audio_tpu.data.datasets import load_labels_xlsx
+
+    p = tmp_path / "labels.xlsx"
+    # unsorted rows; sorted by (Sessions, Segments) the Overlap column reads
+    # 1,2,1,2 -> one-hot categories sorted ascending: 1->[1,0], 2->[0,1]
+    _write_xlsx(p, ["Sessions", "Segments", "Overlap"],
+                [["s1", 2, 2], ["s0", 2, 2], ["s0", 1, 1], ["s1", 1, 1]])
+    y = load_labels_xlsx(p)
+    np.testing.assert_array_equal(
+        y, np.asarray([[1, 0], [0, 1], [1, 0], [0, 1]], np.float32))
+
+
+def test_load_labels_xlsx_missing_column(tmp_path):
+    from mmla_audio_tpu.data.datasets import load_labels_xlsx
+
+    p = tmp_path / "bad.xlsx"
+    _write_xlsx(p, ["Sessions", "Segments"], [["s0", 1]])
+    with pytest.raises(KeyError):
+        load_labels_xlsx(p)

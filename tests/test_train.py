@@ -181,3 +181,21 @@ def test_transfer_learner_converges_to_gate():
     variables, acc, losses = tl.fit_until_gate(x, y, seed=0)
     assert acc >= 0.8, acc
     assert losses[0] > losses[len(losses) // 2]
+
+
+def test_lr_schedule_requires_injectable_optimizer():
+    """lr_schedule_epoch with a plain (non-inject_hyperparams) optimizer must
+    raise, not silently train at a fixed lr (VERDICT r1 weak #5)."""
+    import pytest
+
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=2)
+    model = SpeakerResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    trainer = Trainer(model, rmsprop(1e-3), keras_categorical_crossentropy)
+    state = trainer.init_state(variables)
+    x = np.random.RandomState(0).randn(8, 256, 39).astype(np.float32)
+    y = np.eye(2, dtype=np.float32)[np.arange(8) % 2]
+    with pytest.raises(ValueError, match="inject_hyperparams"):
+        trainer.fit(state, x, y, epochs=1, batch_size=4,
+                    lr_schedule_epoch=lambda e: 1e-3)

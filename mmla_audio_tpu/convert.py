@@ -10,13 +10,17 @@ fwd_recurrent(H,4H), fwd_bias(4H), bwd_kernel, bwd_recurrent, bwd_bias]
 Conv kernels are HWIO in both frameworks, so no transposition is needed;
 this module only re-nests the flat list into the Flax variable tree.
 
-Layer-creation order is fixed by the reference model builders:
-`overlap_detector.py:362-390` (stem; per block: [shortcut if pooled], BN,
-conv3x3, BN, conv4x1; then BiLSTM, Dense) and
-`speaker_identification.py:168-218` (stem; per unit: [shortcut if pooled],
-BN, conv3, BN, conv3; final BN; BiLSTM; Dense).
+Layer order is Keras's topological graph order, recovered from the shapes in
+the SHIPPED checkpoint indexes (the ground truth, not the builder source):
+`OverlapDetection/timit/models/timit2.0/variables/variables.index` gives, per
+pooled block, BN, conv3x3, BN, conv4x1, **shortcut last** (layers 1-5 of
+stage 0), and `SpeakerIdentification/timit/model/variables/variables.index`
+gives, per pooled unit, BN, conv_a, BN, **shortcut**, conv_b (layers 1-5);
+non-pooled blocks/units are BN, conv, BN, conv.  Model tails: overlap =
+BiLSTM, Dense; speaker = final BN, BiLSTM, Dense.
 
-Validated by round-trip tests: params -> flat Keras-order list -> params.
+Validated by round-trip tests and by shape-parity against the real
+checkpoint indexes (tests/test_tfbundle.py).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ __all__ = [
     "overlap_variables_to_keras",
     "speaker_variables_from_keras",
     "speaker_variables_to_keras",
+    "load_checkpoint_variables",
 ]
 
 
@@ -42,13 +47,20 @@ class _Cursor:
 
     def take(self, n: int) -> List[np.ndarray]:
         out = self.flat[self.i: self.i + n]
-        assert len(out) == n, f"ran out of weights at index {self.i}"
+        if len(out) != n:
+            raise ValueError(
+                f"ran out of weights at index {self.i} of {len(self.flat)} — "
+                "the checkpoint does not match the model config (pass the "
+                "cfg the checkpoint was trained with)")
         self.i += n
         return out
 
     def done(self):
-        assert self.i == len(self.flat), \
-            f"{len(self.flat) - self.i} unconsumed weights"
+        if self.i != len(self.flat):
+            raise ValueError(
+                f"{len(self.flat) - self.i} unconsumed weights — the "
+                "checkpoint does not match the model config (pass the cfg "
+                "the checkpoint was trained with)")
 
 
 def _conv(c: _Cursor) -> Dict[str, np.ndarray]:
@@ -75,8 +87,6 @@ def _bilstm(c: _Cursor) -> Dict[str, Any]:
 def _block2d(c: _Cursor, pool: bool):
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    if pool:
-        params["shortcut"] = _conv(c)
     p0, s0 = _bn(c)
     params["KerasBatchNorm_0"] = {"BatchNorm_0": p0}
     stats["KerasBatchNorm_0"] = {"BatchNorm_0": s0}
@@ -85,6 +95,8 @@ def _block2d(c: _Cursor, pool: bool):
     params["KerasBatchNorm_1"] = {"BatchNorm_0": p1}
     stats["KerasBatchNorm_1"] = {"BatchNorm_0": s1}
     params["Conv_1"] = _conv(c)
+    if pool:
+        params["shortcut"] = _conv(c)   # shortcut conv is LAST in graph order
     return params, stats
 
 
@@ -134,14 +146,14 @@ def overlap_variables_to_keras(variables: Dict[str, Any],
         for block in range(cfg.blocks_per_stage):
             bp = p[f"stage{stage}_block{block}"]
             bs = s[f"stage{stage}_block{block}"]
-            if block == 0:
-                _emit_conv(out, bp["shortcut"])
             _emit_bn(out, bp["KerasBatchNorm_0"]["BatchNorm_0"],
                      bs["KerasBatchNorm_0"]["BatchNorm_0"])
             _emit_conv(out, bp["Conv_0"])
             _emit_bn(out, bp["KerasBatchNorm_1"]["BatchNorm_0"],
                      bs["KerasBatchNorm_1"]["BatchNorm_0"])
             _emit_conv(out, bp["Conv_1"])
+            if block == 0:
+                _emit_conv(out, bp["shortcut"])
     _emit_bilstm(out, p["BiLSTM_0"])
     _emit_conv(out, p["head"])
     return out
@@ -150,8 +162,6 @@ def overlap_variables_to_keras(variables: Dict[str, Any],
 def _unit1d(c: _Cursor, pool: bool):
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    if pool:
-        params["shortcut"] = _conv(c)
     p0, s0 = _bn(c)
     params["KerasBatchNorm_0"] = {"BatchNorm_0": p0}
     stats["KerasBatchNorm_0"] = {"BatchNorm_0": s0}
@@ -159,6 +169,8 @@ def _unit1d(c: _Cursor, pool: bool):
     p1, s1 = _bn(c)
     params["KerasBatchNorm_1"] = {"BatchNorm_0": p1}
     stats["KerasBatchNorm_1"] = {"BatchNorm_0": s1}
+    if pool:
+        params["shortcut"] = _conv(c)   # shortcut sits between BN and conv_b
     params["conv_b"] = _conv(c)
     return params, stats
 
@@ -196,16 +208,59 @@ def speaker_variables_to_keras(variables: Dict[str, Any],
         for unit in range(cfg.blocks_per_stage):
             up = p[f"stage{stage}_unit{unit}"]
             us = s[f"stage{stage}_unit{unit}"]
-            if unit == 0:
-                _emit_conv(out, up["shortcut"])
             _emit_bn(out, up["KerasBatchNorm_0"]["BatchNorm_0"],
                      us["KerasBatchNorm_0"]["BatchNorm_0"])
             _emit_conv(out, up["conv_a"])
             _emit_bn(out, up["KerasBatchNorm_1"]["BatchNorm_0"],
                      us["KerasBatchNorm_1"]["BatchNorm_0"])
+            if unit == 0:
+                _emit_conv(out, up["shortcut"])
             _emit_conv(out, up["conv_b"])
     _emit_bn(out, p["KerasBatchNorm_0"]["BatchNorm_0"],
              s["KerasBatchNorm_0"]["BatchNorm_0"])
     _emit_bilstm(out, p["BiLSTM_0"])
     _emit_conv(out, variables["params"]["head"])
     return out
+
+
+def load_checkpoint_variables(path, kind: str = "auto", *,
+                              cfg=None, verify_crc: bool = False
+                              ) -> Dict[str, Any]:
+    """Load a reference-trained TF SavedModel checkpoint end-to-end.
+
+    ``path`` may be a SavedModel directory (containing ``variables/``), the
+    ``variables`` directory itself, or the bundle prefix
+    (``.../variables/variables``).  No TensorFlow involved: the bundle is
+    parsed by :mod:`mmla_audio_tpu.tfbundle`, ordered like
+    ``model.get_weights()``, and re-nested into a Flax variable tree.
+
+        variables = load_checkpoint_variables(
+            "path/to/OverlapDetection/timit/models/timit2.0")
+
+    ``kind`` is ``'overlap'``, ``'speaker'`` or ``'auto'`` (sniffed from the
+    stem kernel rank: Conv2D HWIO = overlap, Conv1D WIO = speaker).
+    """
+    from pathlib import Path
+
+    from mmla_audio_tpu.tfbundle import keras_weight_list, read_bundle
+
+    p = Path(path)
+    if (p / "variables" / "variables.index").exists():
+        prefix = p / "variables" / "variables"
+    elif (p / "variables.index").exists():
+        prefix = p / "variables"
+    else:
+        prefix = p
+    tensors = read_bundle(prefix, verify_crc=verify_crc)
+    flat = keras_weight_list(tensors)
+    if not flat:
+        raise ValueError(f"{path}: no model weights found in checkpoint")
+    if kind == "auto":
+        kind = "overlap" if flat[0].ndim == 4 else "speaker"
+    if kind == "overlap":
+        return overlap_variables_from_keras(
+            flat, cfg or OverlapModelConfig())
+    if kind == "speaker":
+        return speaker_variables_from_keras(
+            flat, cfg or SpeakerModelConfig())
+    raise ValueError(f"kind must be 'overlap', 'speaker' or 'auto': {kind!r}")

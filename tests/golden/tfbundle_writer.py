@@ -1,0 +1,142 @@
+"""Minimal TensorBundle *writer* — test-only, independent of the reader.
+
+Re-implements the checkpoint container from the format spec (SSTable-style
+index + raw data shards) so tests can round-trip synthetic checkpoints
+through mmla_audio_tpu.tfbundle without TensorFlow.  Deliberately uses its
+own encoding code (no imports from the package under test).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+_MAGIC = 0xDB4775248B80FB57
+
+_NP_TO_DT = {
+    np.dtype(np.float32): 1, np.dtype(np.float64): 2, np.dtype(np.int32): 3,
+    np.dtype(np.uint8): 4, np.dtype(np.int16): 5, np.dtype(np.int8): 6,
+    np.dtype(np.int64): 9, np.dtype(np.bool_): 10, np.dtype(np.float16): 19,
+}
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _crc32c(data: bytes) -> int:
+    poly = 0x82F63B78
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _shape_proto(shape) -> bytes:
+    out = b""
+    for d in shape:
+        dim = _tag(1, 0) + _varint(int(d))
+        out += _tag(2, 2) + _varint(len(dim)) + dim
+    return out
+
+
+def _entry_proto(dtype_enum, shape, shard, offset, size, crc) -> bytes:
+    sp = _shape_proto(shape)
+    out = _tag(1, 0) + _varint(dtype_enum)
+    out += _tag(2, 2) + _varint(len(sp)) + sp
+    if shard:
+        out += _tag(3, 0) + _varint(shard)
+    out += _tag(4, 0) + _varint(offset)
+    out += _tag(5, 0) + _varint(size)
+    out += _tag(6, 5) + struct.pack("<I", crc)
+    return out
+
+
+def _block(entries) -> bytes:
+    """Entries [(key bytes, value bytes)] (must be sorted) -> table block
+    with no prefix compression and a single restart point."""
+    out = bytearray()
+    for key, value in entries:
+        out += _varint(0) + _varint(len(key)) + _varint(len(value))
+        out += key + value
+    out += struct.pack("<I", 0)       # one restart at offset 0
+    out += struct.pack("<I", 1)       # n_restarts
+    return bytes(out)
+
+
+def write_bundle(prefix, tensors: Dict[str, np.ndarray], *,
+                 num_shards: int = 1, bf16_keys=()) -> None:
+    """Write ``<prefix>.index`` + ``<prefix>.data-NNNNN-of-MMMMM``.
+
+    Tensors are distributed round-robin over shards in key order.
+    ``bf16_keys``: names whose float32 array is stored as DT_BFLOAT16
+    (truncated high 16 bits), to exercise the reader's widening path.
+    """
+    prefix = Path(prefix)
+    shard_bufs = [bytearray() for _ in range(num_shards)]
+    entries = []
+    names = sorted(tensors)
+    for i, name in enumerate(names):
+        arr = np.ascontiguousarray(tensors[name])
+        shard = i % num_shards
+        if name in bf16_keys:
+            dtype_enum = 14
+            raw = (arr.astype(np.float32).view(np.uint32) >> 16).astype(
+                np.uint16).tobytes()
+        else:
+            dtype_enum = _NP_TO_DT[arr.dtype]
+            raw = arr.tobytes()
+        offset = len(shard_bufs[shard])
+        shard_bufs[shard] += raw
+        entries.append((name.encode(), _entry_proto(
+            dtype_enum, arr.shape, shard, offset, len(raw),
+            masked_crc32c(raw))))
+    header = _tag(1, 0) + _varint(num_shards)
+    entries.insert(0, (b"", header))
+
+    data_block = _block(entries)
+    buf = bytearray()
+    data_off = len(buf)
+    buf += data_block
+    buf += b"\x00" + struct.pack("<I", 0)      # compression type + block crc
+    meta_block = _block([])
+    meta_off = len(buf)
+    buf += meta_block + b"\x00" + struct.pack("<I", 0)
+    index_handle = _varint(data_off) + _varint(len(data_block))
+    index_block = _block([(entries[-1][0] + b"\xff", index_handle)])
+    index_off = len(buf)
+    buf += index_block + b"\x00" + struct.pack("<I", 0)
+
+    footer = (_varint(meta_off) + _varint(len(meta_block)) +
+              _varint(index_off) + _varint(len(index_block)))
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", _MAGIC)
+    buf += footer
+
+    prefix.with_name(prefix.name + ".index").write_bytes(bytes(buf))
+    for s in range(num_shards):
+        path = prefix.with_name(
+            f"{prefix.name}.data-{s:05d}-of-{num_shards:05d}")
+        path.write_bytes(bytes(shard_bufs[s]))

@@ -1,0 +1,251 @@
+"""TensorBundle reader: synthetic round-trips + real reference-index parity.
+
+The writer in tests/golden/tfbundle_writer.py re-implements the container
+format independently; the reference's shipped (data-stripped) checkpoint
+indexes provide real-world shape/order ground truth.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.golden.tfbundle_writer import write_bundle
+
+from mmla_audio_tpu.convert import (
+    load_checkpoint_variables,
+    overlap_variables_from_keras,
+    speaker_variables_from_keras,
+)
+from mmla_audio_tpu.tfbundle import (
+    keras_weight_list,
+    list_variables,
+    read_bundle,
+    read_index,
+)
+
+_REF_OVERLAP = Path("/root/reference/OverlapDetection/timit/models/timit2.0/"
+                    "variables/variables.index")
+_REF_SPEAKER = Path("/root/reference/SpeakerIdentification/timit/model/"
+                    "variables/variables.index")
+
+
+def _random_tensors(rng, spec):
+    return {name: rng.standard_normal(shape).astype(dtype)
+            if np.issubdtype(np.dtype(dtype), np.floating)
+            else rng.integers(0, 100, shape).astype(dtype)
+            for name, (shape, dtype) in spec.items()}
+
+
+def test_roundtrip_single_shard(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = _random_tensors(rng, {
+        "a/kernel": ((3, 4), np.float32),
+        "a/bias": ((4,), np.float32),
+        "counts": ((7,), np.int64),
+        "flag": ((), np.bool_),
+        "half": ((2, 5), np.float16),
+    })
+    write_bundle(tmp_path / "variables", tensors)
+    out = read_bundle(tmp_path / "variables", verify_crc=True)
+    assert sorted(out) == sorted(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(out[k], tensors[k], err_msg=k)
+        assert out[k].dtype == tensors[k].dtype, k
+
+
+def test_roundtrip_multi_shard(tmp_path):
+    rng = np.random.default_rng(1)
+    tensors = {f"v{i}": rng.standard_normal((i + 1, 3)).astype(np.float32)
+               for i in range(7)}
+    write_bundle(tmp_path / "variables", tensors, num_shards=3)
+    out = read_bundle(tmp_path / "variables")
+    for k in tensors:
+        np.testing.assert_array_equal(out[k], tensors[k], err_msg=k)
+
+
+def test_bfloat16_widening(tmp_path):
+    x = np.asarray([[1.5, -2.25], [1024.0, 3e-5]], np.float32)
+    write_bundle(tmp_path / "variables", {"w": x}, bf16_keys=("w",))
+    out = read_bundle(tmp_path / "variables")
+    assert out["w"].dtype == np.float32
+    # widening restores exactly the stored bf16 value (top 16 bits of f32)
+    expect = ((x.view(np.uint32) >> 16) << 16).view(np.float32)
+    np.testing.assert_array_equal(out["w"], expect)
+    assert expect[0, 0] == 1.5 and expect[1, 0] == 1024.0
+
+
+def test_corrupt_data_crc_detected(tmp_path):
+    write_bundle(tmp_path / "variables",
+                 {"w": np.ones((4, 4), np.float32)})
+    data = tmp_path / "variables.data-00000-of-00001"
+    raw = bytearray(data.read_bytes())
+    raw[5] ^= 0xFF
+    data.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c"):
+        read_bundle(tmp_path / "variables", verify_crc=True)
+
+
+def test_bad_magic_rejected(tmp_path):
+    write_bundle(tmp_path / "variables", {"w": np.ones((2,), np.float32)})
+    idx = tmp_path / "variables.index"
+    raw = bytearray(idx.read_bytes())
+    raw[-1] ^= 0x01
+    idx.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="magic"):
+        read_index(idx)
+
+
+def test_missing_data_shard_message(tmp_path):
+    write_bundle(tmp_path / "variables", {"w": np.ones((2,), np.float32)})
+    (tmp_path / "variables.data-00000-of-00001").unlink()
+    with pytest.raises(FileNotFoundError, match="stripped"):
+        read_bundle(tmp_path / "variables")
+
+
+def test_keras_weight_list_orphan_placement():
+    """Orphan (trainable_)variables/N tensors slot into the single
+    layer_with_weights gap, in N order (the BiLSTM pattern of both shipped
+    checkpoints)."""
+    t = {
+        "layer_with_weights-0/kernel/.ATTRIBUTES/VARIABLE_VALUE":
+            np.full((1,), 0.0),
+        "layer_with_weights-0/bias/.ATTRIBUTES/VARIABLE_VALUE":
+            np.full((1,), 1.0),
+        # layer 1 = the gap (an RNN whose weights were not attached)
+        "variables/2/.ATTRIBUTES/VARIABLE_VALUE": np.full((1,), 2.0),
+        "variables/3/.ATTRIBUTES/VARIABLE_VALUE": np.full((1,), 3.0),
+        "layer_with_weights-2/kernel/.ATTRIBUTES/VARIABLE_VALUE":
+            np.full((1,), 4.0),
+        "layer_with_weights-2/bias/.ATTRIBUTES/VARIABLE_VALUE":
+            np.full((1,), 5.0),
+        "layer_with_weights-0/kernel/.OPTIMIZER_SLOT/optimizer/rms/"
+        ".ATTRIBUTES/VARIABLE_VALUE": np.full((1,), 99.0),
+    }
+    flat = keras_weight_list(t)
+    assert [float(a[0]) for a in flat] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_keras_weight_list_ambiguous_gaps_raise():
+    t = {
+        "layer_with_weights-0/kernel/.ATTRIBUTES/VARIABLE_VALUE": np.zeros(1),
+        "layer_with_weights-3/kernel/.ATTRIBUTES/VARIABLE_VALUE": np.zeros(1),
+        "variables/1/.ATTRIBUTES/VARIABLE_VALUE": np.zeros(1),
+    }
+    with pytest.raises(ValueError, match="gap"):
+        keras_weight_list(t)
+
+
+# --- real reference artifacts (index files are shipped; data is stripped) --
+
+@pytest.mark.skipif(not _REF_OVERLAP.exists(), reason="reference not mounted")
+def test_reference_overlap_index_matches_model():
+    """Shape-fake every entry of the real timit2.0 index, order it like
+    get_weights(), and re-nest: the resulting tree must exactly match a
+    freshly-built OverlapResBLSTM variable tree (full-size config)."""
+    import jax
+
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+
+    _, entries = read_index(_REF_OVERLAP)
+    fakes = {k: np.zeros(e.shape, np.float32) for k, e in entries.items()
+             if e.dtype_enum == 1}
+    flat = keras_weight_list(fakes)
+    assert len(flat) == 124          # 22 convs*2 + 18 BN*4 + BiLSTM 6 + Dense 2
+    got = overlap_variables_from_keras(flat)
+
+    model = OverlapResBLSTM()
+    expect = jax.eval_shape(model.init_variables, jax.random.PRNGKey(0))
+    got_leaves = jax.tree_util.tree_leaves_with_path(got)
+    exp_leaves = jax.tree_util.tree_leaves_with_path(expect)
+    assert len(got_leaves) == len(exp_leaves)
+    for (pg, vg), (pe, ve) in zip(got_leaves, exp_leaves):
+        assert pg == pe, (pg, pe)
+        assert tuple(vg.shape) == tuple(ve.shape), (pg, vg.shape, ve.shape)
+
+
+@pytest.mark.skipif(not _REF_SPEAKER.exists(), reason="reference not mounted")
+def test_reference_speaker_index_matches_model():
+    import jax
+
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+    _, entries = read_index(_REF_SPEAKER)
+    fakes = {k: np.zeros(e.shape, np.float32) for k, e in entries.items()
+             if e.dtype_enum == 1}
+    flat = keras_weight_list(fakes)
+    got = speaker_variables_from_keras(flat)
+
+    model = SpeakerResBLSTM()
+    expect = jax.eval_shape(model.init_variables, jax.random.PRNGKey(0))
+    got_leaves = jax.tree_util.tree_leaves_with_path(got)
+    exp_leaves = jax.tree_util.tree_leaves_with_path(expect)
+    assert len(got_leaves) == len(exp_leaves)
+    for (pg, vg), (pe, ve) in zip(got_leaves, exp_leaves):
+        assert pg == pe, (pg, pe)
+        assert tuple(vg.shape) == tuple(ve.shape), (pg, vg.shape, ve.shape)
+
+
+@pytest.mark.skipif(not _REF_SPEAKER.exists(), reason="reference not mounted")
+def test_list_variables_reference():
+    vars_ = list_variables(_REF_SPEAKER)
+    assert vars_["layer_with_weights-42/kernel/.ATTRIBUTES/VARIABLE_VALUE"] \
+        == ((512, 630), 1)
+
+
+def test_load_checkpoint_variables_end_to_end(tmp_path):
+    """Synthesize a full speaker checkpoint (values included) the way TF lays
+    it out — LW keys for convs/BNs/Dense, trainable_variables/N orphans for
+    the BiLSTM — and load it into a working model."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import SpeakerModelConfig
+    from mmla_audio_tpu.convert import speaker_variables_to_keras
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+    cfg = SpeakerModelConfig(stage_filters=(4, 8), blocks_per_stage=2,
+                             lstm_units=4, num_speakers=5)
+    model = SpeakerResBLSTM(cfg)
+    v = model.init_variables(jax.random.PRNGKey(7))
+    flat = speaker_variables_to_keras(v, cfg)
+
+    # Rebuild the checkpoint key layout: walk layers in graph order and name
+    # each weight; the BiLSTM (one layer index gap) goes to orphan keys.
+    tensors = {}
+    li = 0
+
+    def lw(attr, arr):
+        tensors[f"layer_with_weights-{li}/{attr}/.ATTRIBUTES/VARIABLE_VALUE"] = arr
+
+    i = iter(flat)
+    lw("kernel", next(i)); lw("bias", next(i)); li += 1          # stem
+    for stage in range(2):
+        for unit in range(2):
+            lw("gamma", next(i)); lw("beta", next(i))
+            lw("moving_mean", next(i)); lw("moving_variance", next(i)); li += 1
+            lw("kernel", next(i)); lw("bias", next(i)); li += 1   # conv_a
+            lw("gamma", next(i)); lw("beta", next(i))
+            lw("moving_mean", next(i)); lw("moving_variance", next(i)); li += 1
+            if unit == 0:
+                lw("kernel", next(i)); lw("bias", next(i)); li += 1  # shortcut
+            lw("kernel", next(i)); lw("bias", next(i)); li += 1   # conv_b
+    lw("gamma", next(i)); lw("beta", next(i))
+    lw("moving_mean", next(i)); lw("moving_variance", next(i)); li += 1
+    li += 1                                                       # BiLSTM gap
+    for n, arr in enumerate(jax.tree_util.tree_leaves(
+            [next(i) for _ in range(6)])):
+        tensors[f"trainable_variables/{40 + n}/.ATTRIBUTES/VARIABLE_VALUE"] = arr
+    lw("kernel", next(i)); lw("bias", next(i))                    # Dense head
+    assert next(i, None) is None
+
+    savedmodel = tmp_path / "model"
+    (savedmodel / "variables").mkdir(parents=True)
+    write_bundle(savedmodel / "variables" / "variables", tensors)
+
+    loaded = load_checkpoint_variables(savedmodel, kind="auto", cfg=cfg,
+                                       verify_crc=True)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 256, 39), jnp.float32)
+    np.testing.assert_allclose(np.asarray(model.apply(v, x)),
+                               np.asarray(model.apply(loaded, x)),
+                               rtol=0, atol=0)

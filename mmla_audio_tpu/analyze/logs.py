@@ -28,10 +28,16 @@ class SessionLog:
     """Append-only TSV log; header emitted with the first row."""
 
     def __init__(self, path, kind: str = "overlap", start_index: int = 1,
-                 overwrite: bool = False):
+                 overwrite: bool = False, timestamps: bool = True):
+        # timestamps=False reproduces the SI Pi runner's log schema:
+        # 'segment\tspeaker' rows with no timestamp column
+        # (SpeakerIdentification/scripts/record_on_pi.py:226-251).
         assert kind in ("overlap", "speaker")
         self.path = Path(path)
+        self.timestamps = timestamps
         self.header = OVERLAP_HEADER if kind == "overlap" else SPEAKER_HEADER
+        if not timestamps:
+            self.header = self.header.rsplit("\t", 1)[0]
         self.index = start_index
         self._wrote_header = False
         self.path.parent.mkdir(parents=True, exist_ok=True)
@@ -57,7 +63,10 @@ class SessionLog:
             if not self._wrote_header:
                 f.write(self.header + "\n")
                 self._wrote_header = True
-            f.write(f"{self.index}\t{label}\t{ts}\n")
+            if self.timestamps:
+                f.write(f"{self.index}\t{label}\t{ts}\n")
+            else:
+                f.write(f"{self.index}\t{label}\n")
         idx = self.index
         self.index += 1
         return idx
@@ -76,6 +85,8 @@ def parse_log(path) -> List[Tuple[int, str, str]]:
     with open(path) as f:
         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     for ln in lines[1:]:
-        seg, label, ts = ln.split("\t")
+        parts = ln.split("\t")
+        seg, label = parts[0], parts[1]
+        ts = parts[2] if len(parts) > 2 else ""   # edge logs: no timestamps
         rows.append((int(seg), label, ts))
     return rows

@@ -110,12 +110,18 @@ def cmd_overlap_live(args):
 
 def cmd_speaker_live(args):
     from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.streaming.edge import EdgeSpeakerSession
     from mmla_audio_tpu.streaming.session import SpeakerSession
 
     cfg = PipelineConfig()
     pred = _predictor_speaker(args.ckpt, cfg)
     cap = _capture(args, cfg)
-    sess = SpeakerSession(pred, cap, args.root, cfg=cfg)
+    if getattr(args, "edge", False):
+        # Pi-variant: gate-driven capture, AOT identify loop, timestamp-free
+        # log (SI record_on_pi.py)
+        sess = EdgeSpeakerSession(pred, cap, args.root, cfg=cfg)
+    else:
+        sess = SpeakerSession(pred, cap, args.root, cfg=cfg)
     print("[INFO] calibrating ambient noise...")
     sess.calibrate(args.calibrate_seconds)
 
@@ -370,6 +376,9 @@ def main(argv=None):
     p.add_argument("--enroll-seconds", type=float, default=None)
     p.add_argument("--phase1-epochs", type=int, default=None)
     p.add_argument("--phase2-epochs", type=int, default=None)
+    p.add_argument("--edge", action="store_true",
+                   help="Pi-variant: gated capture, AOT identify loop, "
+                        "timestamp-free log")
     p.set_defaults(fn=cmd_speaker_live)
 
     p = sub.add_parser("overlap-post")

@@ -28,10 +28,14 @@ from mmla_audio_tpu.core.config import PipelineConfig
 from mmla_audio_tpu.ops.denoise import reduce_noise
 from mmla_audio_tpu.ops.features import overlap_model_input
 from mmla_audio_tpu.ops.ssim import ssim
-from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS
-from mmla_audio_tpu.streaming.session import StreamingSession, _quantize_i16
+from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
+from mmla_audio_tpu.streaming.session import (
+    SpeakerSession,
+    StreamingSession,
+    _quantize_i16,
+)
 
-__all__ = ["GateSource", "EdgeOverlapSession"]
+__all__ = ["GateSource", "EdgeOverlapSession", "EdgeSpeakerSession"]
 
 
 class GateSource:
@@ -102,3 +106,63 @@ class EdgeOverlapSession(StreamingSession):
 
     # run() is inherited: StreamingSession handles the gate-driven
     # suspend/resume state machine for every session kind.
+
+
+class EdgeSpeakerSession(SpeakerSession):
+    """Speaker identification with the Pi runner's composition
+    (`SpeakerIdentification/scripts/record_on_pi.py:199-378`):
+
+    * gate-driven suspend/resume around capture (the GPIO button loop);
+    * on-device registration + transfer-learning behind the gate
+      (``main``, :329-378 — registration only proceeds while recording is
+      enabled);
+    * the identify loop runs an **AOT-compiled fixed-shape program** — the
+      analog of the TFLite interpreter path (:258-325): the fused
+      window->label function is lowered and compiled once for the pinned
+      window signature, and recompiled after on-device retraining installs a
+      new head (the reference reloads the interpreter, :264-268);
+    * the SI Pi log schema: ``segment\\tspeaker`` rows without timestamps
+      (:226-251).
+
+    The SI Pi runner keeps the VAD-length silent gate of the PC pipeline
+    (``input_feature_gen`` returns 'silent', :296-300) — the SSIM gate is
+    OD-Pi-only — so the fused program is inherited unchanged from
+    :class:`SpeakerSession`.
+    """
+
+    kind = "speaker"
+
+    def __init__(self, predictor, capture, dirs,
+                 gate: Optional[GateSource] = None,
+                 cfg: PipelineConfig = PipelineConfig(), **kw):
+        super().__init__(predictor, capture, dirs, cfg=cfg,
+                         gate=gate or GateSource(pressed=True), **kw)
+        # swap in the timestamp-free Pi log schema at the same path
+        self.log = SessionLog(self.log.path, kind="speaker", start_index=1,
+                              timestamps=False)
+
+    def _rebuild_fused(self):
+        super()._rebuild_fused()
+        self._aot = None    # new head -> recompile the pinned program
+
+    def register_speaker(self, name, seconds=None):
+        # Registration happens on-device behind the same gate as capture.
+        if self.gate is not None:
+            self.gate.wait_pressed()
+        return super().register_speaker(name, seconds)
+
+    def process_window(self, window_i16: np.ndarray):
+        args = (self.predictor.variables,
+                jnp.asarray(window_i16.astype(np.float32)),
+                self.noise_thresh,
+                jnp.asarray(self.vad_threshold_db, jnp.float32))
+        if self._aot is None:
+            # the "TFLite conversion": lower + compile for this exact
+            # signature; later shape changes fail loudly instead of retracing
+            self._aot = self._fused.lower(*args).compile()
+        label, probs, _ = self._aot(*args)
+        label, probs = jax.device_get((label, probs))   # one host fetch
+        label = int(label)
+        name = "silent" if label < 0 else \
+            self.speaker_id_dict.get(str(label), str(label))
+        return name, probs

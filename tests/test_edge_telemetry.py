@@ -108,3 +108,70 @@ def test_accuracy_sweep_and_violin(tmp_path):
     assert parsed.keys() == results.keys()
     out = render_violin_html(results, tmp_path / "charts" / "acc.html")
     assert out.exists() and "<svg" in out.read_text()
+
+
+def test_edge_speaker_register_train_identify_through_gate(tmp_path):
+    """The SI Pi composition (record_on_pi.py:199-378): gated on-device
+    registration -> transfer-learn -> AOT-compiled identify loop, with the
+    timestamp-free 'segment\\tspeaker' log schema."""
+    import threading
+    import time
+
+    from mmla_audio_tpu.analyze.logs import parse_log
+    from mmla_audio_tpu.inference import SpeakerPredictor
+    from mmla_audio_tpu.streaming.edge import EdgeSpeakerSession
+
+    cfg = PipelineConfig(
+        speaker_model=SpeakerModelConfig(stage_filters=(8, 8, 8),
+                                         lstm_units=16, num_speakers=20),
+        transfer=TransferConfig(phase1_epochs=30, phase1_lr=3e-3,
+                                phase2_epochs=0, max_retrain_rounds=1,
+                                accuracy_gate=0.0),
+    )
+    base = SpeakerResBLSTM(cfg.speaker_model)
+    base_vars = base.init_variables(jax.random.PRNGKey(0))
+    pred = SpeakerPredictor(base_vars, cfg.speaker_model)
+
+    alice = synth_speech_i16(16000 * 8, seed=10)
+    bob = (synth_speech_i16(16000 * 8, seed=20) // 4)
+    src = ArraySource(np.concatenate([alice, bob]))
+    cap = CaptureThread(src).start()
+    gate = GateSource(pressed=False)      # button initially released
+    sess = EdgeSpeakerSession(pred, cap, tmp_path / "experiment", gate=gate,
+                              cfg=cfg)
+    sess.set_noise_profile(
+        (np.random.RandomState(4).randn(160000) * 5).astype(np.int16))
+
+    # registration blocks until the gate is pressed (GPIO button)
+    pressed = threading.Timer(0.2, gate.set_pressed, args=(True,))
+    pressed.start()
+    t0 = time.monotonic()
+    sess.register_speaker("alice", seconds=8)
+    assert time.monotonic() - t0 >= 0.15   # waited for the gate
+    sess.register_speaker("bob", seconds=8)
+    cap.stop()
+
+    acc = sess.train_on_registered(base_vars, seed=0)
+    assert set(sess.speaker_id_dict.values()) == {"alice", "bob"}
+    assert sess._aot is None              # retrain invalidated the program
+
+    # identify through the gate: suspend mid-run, then resume
+    src2 = ArraySource(synth_speech_i16(40960 * 3, seed=10))
+    cap2 = CaptureThread(src2).start()
+    sess.capture = cap2
+    gate.set_pressed(False)
+    resumer = threading.Timer(0.3, gate.set_pressed, args=(True,))
+    resumer.start()
+    results = sess.run(max_windows=2)
+    cap2.stop()
+    assert len(results) == 2
+    assert all(r[1] in ("alice", "bob", "silent") for r in results)
+    assert sess._aot is not None          # pinned program compiled once
+
+    # Pi log schema: 'segment\tspeaker' header, rows without timestamps
+    lines = sess.log.path.read_text().strip().split("\n")
+    assert lines[0] == "segment\tspeaker"
+    assert all(len(ln.split("\t")) == 2 for ln in lines[1:])
+    rows = parse_log(sess.log.path)
+    assert [r[0] for r in rows] == [1, 2]
+    assert all(r[2] == "" for r in rows)

@@ -1,0 +1,124 @@
+"""Quantify VAD decision parity: calibrated energy VAD vs WebRTC-architecture
+GMM VAD (vad/gmm.py), across SNRs.
+
+The reference's per-frame decision is webrtcvad's GMM (record_on_pc.py:33);
+the rebuild's default is a calibrated energy detector.  This benchmark
+measures, per SNR:
+
+* **frame agreement** — fraction of 30 ms frame decisions on which the two
+  detectors agree;
+* **label agreement** — fraction of *windows* whose final silent/voiced
+  outcome (hysteresis collector -> trimmed length -> <4000-sample silent
+  gate, the thing downstream labels actually depend on) agrees.
+
+Run:  python benchmarks/vad_agreement.py [--windows 100] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def synth_speech(n_samples, sr=16000, seed=0, n_tones=4, amp=0.3):
+    """Same deterministic speech-like generator the test suite uses."""
+    r = np.random.RandomState(seed)
+    t = np.arange(n_samples) / sr
+    y = np.zeros(n_samples)
+    for _ in range(n_tones):
+        f0 = r.uniform(80, 2000)
+        drift = r.uniform(-30, 30)
+        y += r.uniform(0.2, 1.0) * np.sin(
+            2 * np.pi * (f0 + drift * t) * t + r.uniform(0, 6.28))
+    y += 0.05 * r.randn(n_samples)
+    y *= amp / np.max(np.abs(y))
+    return y.astype(np.float32)
+
+
+def measure(snrs=(20.0, 10.0, 5.0, 0.0, -5.0), n_windows=100,
+            noise_rms=60.0, frame_len=480, n_win_samples=40960,
+            aggressiveness=3, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.vad import energy_vad, calibrate_threshold, vad_trim
+    from mmla_audio_tpu.vad.collector import frame_count
+    from mmla_audio_tpu.vad.gmm import gmm_init_from_noise, gmm_vad
+
+    rng = np.random.RandomState(seed)
+    noise_clip = (rng.randn(160000) * noise_rms).astype(np.int16)
+    thr_db = calibrate_threshold(noise_clip, aggressiveness)
+    gmm_state = gmm_init_from_noise(noise_clip)
+    T = frame_count(n_win_samples, frame_len)
+
+    @jax.jit
+    def both(x):
+        frames = x[: T * frame_len].reshape(T, frame_len)
+        d_energy = energy_vad(frames, jnp.asarray(thr_db, jnp.float32))
+        d_gmm, _ = gmm_vad(x, gmm_state, aggressiveness=aggressiveness,
+                           frame_len=frame_len)
+        d_gmm = d_gmm[:T]
+        _, n_e = vad_trim(x, jnp.asarray(x.shape[-1]), d_energy, frame_len)
+        _, n_g = vad_trim(x, jnp.asarray(x.shape[-1]), d_gmm, frame_len)
+        return d_energy, d_gmm, n_e, n_g
+
+    results = {}
+    for snr in snrs:
+        frame_agree = []
+        label_agree = []
+        for w in range(n_windows):
+            noise = rng.randn(n_win_samples).astype(np.float32) * noise_rms
+            if w % 2 == 0:     # speech window at the target SNR
+                sp = synth_speech(n_win_samples, seed=1000 + w)
+                sp_rms = float(np.sqrt(np.mean(sp ** 2)))
+                gain = noise_rms * 10 ** (snr / 20.0) / max(sp_rms, 1e-9)
+                # intermittent speech: zero out a random third of the window
+                gaps = rng.rand(n_win_samples // 4800) < 0.33
+                mask = np.repeat(~gaps, 4800).astype(np.float32)
+                mask = np.pad(mask, (0, n_win_samples - len(mask)),
+                              constant_values=1.0)
+                x = sp * gain * mask + noise
+            else:              # noise-only window
+                x = noise
+            d_e, d_g, n_e, n_g = jax.device_get(both(jnp.asarray(x)))
+            frame_agree.append(np.mean(d_e == d_g))
+            label_agree.append((n_e < 4000) == (n_g < 4000))
+        results[snr] = {
+            "frame_agreement": float(np.mean(frame_agree)),
+            "label_agreement": float(np.mean(label_agree)),
+            "n_windows": n_windows,
+        }
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=100)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    results = measure(n_windows=args.windows)
+    if args.json:
+        print(json.dumps(results))
+        return
+    print(f"{'SNR dB':>8} {'frame agreement':>16} {'label agreement':>16}")
+    for snr, r in results.items():
+        print(f"{snr:8.1f} {r['frame_agreement']:16.3f} "
+              f"{r['label_agreement']:16.3f}")
+    overall_f = np.mean([r["frame_agreement"] for r in results.values()])
+    overall_l = np.mean([r["label_agreement"] for r in results.values()])
+    print(f"{'overall':>8} {overall_f:16.3f} {overall_l:16.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,8 +122,18 @@ class VadConfig:
     frame_ms: int = 30                 # decision frame
     padding_ms: int = 300              # hysteresis ring buffer
     trigger_ratio: float = 0.9         # >90% voiced -> TRIGGERED
-    aggressiveness: int = 3            # maps to energy-threshold preset
+    aggressiveness: int = 3            # maps to threshold preset (Vad(0..3))
     silent_samples: int = 4_000        # post-VAD silence gate (0.25 s)
+    # Per-frame decision function: "energy" = calibrated log-RMS threshold
+    # (fast default), "gmm" = WebRTC-architecture 6-band adaptive GMM
+    # (vad/gmm.py — closer to the reference's webrtcvad behavior).
+    decision: str = "energy"
+
+    def __post_init__(self):
+        if self.decision not in ("energy", "gmm"):
+            raise ValueError(
+                f"VadConfig.decision must be 'energy' or 'gmm': "
+                f"{self.decision!r}")
 
     @property
     def ring_frames(self) -> int:

@@ -38,6 +38,7 @@ from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature
 from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
 from mmla_audio_tpu.vad import calibrate_threshold, energy_vad, vad_trim
 from mmla_audio_tpu.vad.collector import frame_count
+from mmla_audio_tpu.vad.gmm import gmm_init_from_noise, gmm_vad
 
 __all__ = ["session_stamp", "StreamingSession", "OverlapSession",
            "SpeakerSession"]
@@ -88,6 +89,7 @@ class StreamingSession:
             self.rec_dir.mkdir(parents=True, exist_ok=True)
         self.noise_thresh = None
         self.vad_threshold_db = 30.0
+        self.gmm_state = None
         self._count = 0
 
     # -- calibration ---------------------------------------------------------
@@ -114,6 +116,16 @@ class StreamingSession:
         self.noise_thresh = noise_threshold(jnp.asarray(nf), self.cfg.denoise)
         self.vad_threshold_db = calibrate_threshold(
             noise_i16, self.cfg.vad.aggressiveness)
+        if self.cfg.vad.decision == "gmm":
+            # WebRTC-architecture GMM initialised from the ambient profile;
+            # captured as a trace-time constant, so rebuild the fused
+            # programs to pick it up.
+            self.gmm_state = gmm_init_from_noise(noise_i16)
+            self._rebuild_fused()
+
+    def _rebuild_fused(self):
+        """(Re)create the jitted fused window program; subclasses override.
+        Called after (re)calibration when trace-time constants change."""
 
     # -- fused device program --------------------------------------------------
     def _preprocess(self, raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
@@ -129,7 +141,13 @@ class StreamingSession:
         frame_len = int(sr * cfg.vad.frame_ms / 1000)
         T = frame_count(i16.shape[-1], frame_len)
         frames = i16[: T * frame_len].reshape(T, frame_len)
-        decisions = energy_vad(frames, vad_thr)
+        if cfg.vad.decision == "gmm":
+            decisions, _ = gmm_vad(i16, self.gmm_state,
+                                   aggressiveness=cfg.vad.aggressiveness,
+                                   frame_len=frame_len)
+            decisions = decisions[:T]
+        else:
+            decisions = energy_vad(frames, vad_thr)
         trimmed, n_out = vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
                                   frame_len, cfg.vad.ring_frames)
         return trimmed, n_out
@@ -183,6 +201,9 @@ class OverlapSession(StreamingSession):
     def __init__(self, predictor, capture, dirs, **kw):
         super().__init__(capture, dirs, **kw)
         self.predictor = predictor
+        self._rebuild_fused()
+
+    def _rebuild_fused(self):
         cfg = self.cfg
 
         def fused(variables, raw, noise_thresh, vad_thr):

@@ -6,6 +6,12 @@ from mmla_audio_tpu.vad.collector import (
     frame_count,
     vad_trim,
 )
+from mmla_audio_tpu.vad.gmm import (
+    GmmVadState,
+    band_log_energies,
+    gmm_init_from_noise,
+    gmm_vad,
+)
 
 __all__ = [
     "apply_mask",
@@ -14,4 +20,8 @@ __all__ = [
     "energy_vad",
     "frame_count",
     "vad_trim",
+    "GmmVadState",
+    "band_log_energies",
+    "gmm_init_from_noise",
+    "gmm_vad",
 ]

@@ -1,0 +1,153 @@
+"""WebRTC-architecture GMM VAD: filterbank exactness, band routing,
+detection behavior, session integration, and the measured agreement bounds
+recorded in PARITY.md."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import synth_speech_i16
+
+from mmla_audio_tpu.vad.gmm import (
+    GMM_THRESHOLDS,
+    band_log_energies,
+    gmm_init_from_noise,
+    gmm_vad,
+    _allpass_fir,
+)
+
+
+def _iir_allpass(x, a):
+    """The sample-serial recursion the FIR taps must reproduce:
+    y[n] = a x[n] + s;  s = x[n] - a y[n]."""
+    y = np.zeros_like(x)
+    s = 0.0
+    for i in range(len(x)):
+        y[i] = a * x[i] + s
+        s = x[i] - a * y[i]
+    return y
+
+
+@pytest.mark.parametrize("a", [0.64, 0.17])
+def test_allpass_fir_matches_iir(a):
+    rng = np.random.RandomState(0)
+    x = rng.randn(400)
+    y_iir = _iir_allpass(x, a)
+    y_fir = np.convolve(x, _allpass_fir(a))[: len(x)]
+    np.testing.assert_allclose(y_fir, y_iir, atol=1e-9)
+
+
+def test_band_routing():
+    """Pure tones land in the webrtcvad band layout: 80-250 / 250-500 /
+    500-1000 / 1000-2000 / 2000-3000 / 3000-4000 Hz (incl. the spectral
+    inversion of the decimated 2-4 kHz branch)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f, want in [(150, 0), (350, 1), (700, 2), (1500, 3),
+                    (2500, 4), (3500, 5)]:
+        sig = (np.sin(2 * np.pi * f * t) * 8000).astype(np.float32)
+        e = np.asarray(band_log_energies(jnp.asarray(sig)))
+        assert int(np.argmax(e.mean(axis=0))) == want, f
+
+
+def test_detects_speech_rejects_noise():
+    rng = np.random.RandomState(0)
+    st = gmm_init_from_noise((rng.randn(160000) * 100).astype(np.int16))
+    speech = synth_speech_i16(40960, seed=1).astype(np.float32)
+    mix = speech + rng.randn(40960).astype(np.float32) * 100
+    d_s, _ = gmm_vad(jnp.asarray(mix), st, aggressiveness=3)
+    d_n, _ = gmm_vad(jnp.asarray(
+        rng.randn(40960).astype(np.float32) * 100), st, aggressiveness=3)
+    assert np.mean(np.asarray(d_s)) > 0.9
+    assert np.mean(np.asarray(d_n)) < 0.1
+
+
+def test_detects_moderate_snr_speech():
+    """The key behavioral edge over the energy detector: 10 dB-SNR speech is
+    voiced (webrtcvad detects by spectral shape, not broadband level)."""
+    rng = np.random.RandomState(0)
+    noise_rms = 60.0
+    st = gmm_init_from_noise((rng.randn(160000) * noise_rms).astype(np.int16))
+    sp = synth_speech_i16(40960, seed=5).astype(np.float32)
+    sp *= noise_rms * 10 ** (10 / 20.0) / np.sqrt(np.mean(sp ** 2))
+    mix = sp + rng.randn(40960).astype(np.float32) * noise_rms
+    d, _ = gmm_vad(jnp.asarray(mix), st, aggressiveness=3)
+    assert np.mean(np.asarray(d)) > 0.5
+
+
+def test_aggressiveness_monotone():
+    rng = np.random.RandomState(0)
+    st = gmm_init_from_noise((rng.randn(160000) * 100).astype(np.int16))
+    sp = synth_speech_i16(40960, seed=2).astype(np.float32) * 0.15
+    mix = sp + rng.randn(40960).astype(np.float32) * 100
+    fracs = []
+    for mode in range(4):
+        d, _ = gmm_vad(jnp.asarray(mix), st, aggressiveness=mode)
+        fracs.append(float(np.mean(np.asarray(d))))
+    assert all(fracs[i] >= fracs[i + 1] for i in range(3)), fracs
+    assert list(GMM_THRESHOLDS) == [0, 1, 2, 3]
+
+
+def test_min_energy_gate():
+    """Near-digital-silence frames are never speech regardless of the
+    adapted model (WebRTC's kMinEnergy short-circuit)."""
+    st = gmm_init_from_noise(np.zeros(160000, np.int16))
+    d, _ = gmm_vad(jnp.zeros(40960, jnp.float32) + 0.5, st, aggressiveness=0)
+    assert not np.asarray(d).any()
+
+
+def test_state_threading_adapts():
+    """Threading state across windows keeps adapting; the returned state
+    differs from the calibrated one after seeing speech."""
+    rng = np.random.RandomState(1)
+    st0 = gmm_init_from_noise((rng.randn(160000) * 80).astype(np.int16))
+    speech = synth_speech_i16(40960, seed=3).astype(np.float32)
+    _, st1 = gmm_vad(jnp.asarray(speech), st0, aggressiveness=3)
+    assert not np.allclose(np.asarray(st1.speech_mean),
+                           np.asarray(st0.speech_mean))
+    # adapt=False leaves the model untouched
+    _, st2 = gmm_vad(jnp.asarray(speech), st0, aggressiveness=3, adapt=False)
+    np.testing.assert_array_equal(np.asarray(st2.noise_mean),
+                                  np.asarray(st0.noise_mean))
+
+
+def test_overlap_session_gmm_decision(tmp_path):
+    """decision='gmm' drives the full fused session program."""
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+    from mmla_audio_tpu.streaming.session import OverlapSession
+
+    cfg = PipelineConfig(vad=VadConfig(decision="gmm"))
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    rng = np.random.RandomState(0)
+    src = ArraySource(np.concatenate([
+        synth_speech_i16(40960, seed=2),
+        (rng.randn(40960) * 25).astype(np.int16)]))
+    cap = CaptureThread(src).start()
+    sess = OverlapSession(pred, cap, tmp_path / "experiment", cfg=cfg)
+    sess.set_noise_profile((rng.randn(160000) * 25).astype(np.int16))
+    results = sess.run(max_windows=2)
+    cap.stop()
+    assert [r[1] for r in results][1] == "silent"
+    assert results[0][1] in ("non-overlapped", "overlapped")
+
+
+def test_agreement_bounds():
+    """The PARITY.md contract: energy-vs-GMM agreement is near-total at high
+    SNR and for noise-only windows; the mid-SNR divergence (energy VAD's
+    +12 dB margin gates out 0-10 dB speech that the GMM keeps) is the
+    documented substitution cost."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from benchmarks.vad_agreement import measure
+
+    r = measure(snrs=(20.0, 0.0), n_windows=20)
+    assert r[20.0]["frame_agreement"] >= 0.95
+    assert r[20.0]["label_agreement"] >= 0.95
+    # mid-SNR: every noise-only window still agrees (half the set)
+    assert r[0.0]["label_agreement"] >= 0.5

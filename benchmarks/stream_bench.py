@@ -74,14 +74,14 @@ def main():
                     ArraySource(src.read(total_samples)), cfg.audio).start()
                 caps.append(cap)
                 mux.add_stream(f"s{s}", cap, noise)
-            mux.tick(timeout=2.0)                    # compile + warm
+            # warm: one full pipeline rotation compiles the bucket program
+            deadline = time.time() + 120
+            while mux.tick() == 0 and mux._inflight is None \
+                    and time.time() < deadline:
+                time.sleep(0.005)                    # rings still filling
+            mux.flush()
             t0 = time.perf_counter()
-            n_decided = 0
-            while n_decided < args.windows * args.streams:
-                got = mux.tick(timeout=2.0)
-                if got == 0:
-                    break
-                n_decided += got
+            n_decided = mux.run_until_exhausted()
             dt = time.perf_counter() - t0
         for c in caps:
             c.stop()

@@ -12,6 +12,20 @@ batch once, and demuxes labels back to the per-stream logs.
 This is pure data parallelism over the batch axis, so the same program runs
 sharded over a mesh via ``parallel.DataParallel`` when more than one chip is
 available (pass ``mesh=``).
+
+Throughput mechanics (sized for hundreds of concurrent streams per host):
+
+* **Non-blocking gather.** Each tick polls every stream's ring buffer
+  directly (`ring.pop` returns None without blocking); a stalled stream
+  costs one poll, never a timeout wait.  Gathering starts at a rotating
+  offset so no stream starves when more are ready than fit a bucket.
+* **Bucket ladder.** ``buckets`` is an ascending tuple of batch sizes; each
+  tick pads the ready set up to the smallest sufficient bucket.  XLA caches
+  one compiled program per bucket, so padding waste is bounded by the ladder
+  spacing instead of always paying the largest batch.
+* **One-tick pipeline.** The device batch is dispatched asynchronously and
+  its labels are resolved on the NEXT tick, after that tick's gather+dispatch
+  — host staging and device compute overlap instead of serializing.
 """
 
 from __future__ import annotations
@@ -54,21 +68,35 @@ class Stream:
 class Multiplexer:
     """Batch windows across streams into one fused program per tick.
 
-    ``kind``: 'overlap' or 'speaker'.  ``bucket`` fixes the compiled batch
-    size; ticks with fewer ready windows are padded (masked rows are cheap —
-    one window of compute each).
+    ``kind``: 'overlap' or 'speaker'.  ``bucket`` fixes a single compiled
+    batch size; ``buckets`` gives the ascending ladder of batch sizes (each
+    tick rounds the ready count up to the smallest sufficient bucket; one
+    compiled program is cached per bucket).  Padded rows are masked — one
+    window of wasted compute each, bounded by the ladder spacing.
     """
 
     def __init__(self, predictor, dirs: ExperimentDirs | str, *,
-                 kind: str = "overlap", bucket: int = 8,
+                 kind: str = "overlap", bucket: int | None = None,
+                 buckets: Sequence[int] = (8, 64),
                  cfg: PipelineConfig = PipelineConfig(), mesh=None):
         self.predictor = predictor
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
         self.kind = kind
-        self.bucket = bucket
+        if bucket is not None:
+            buckets = (bucket,)
+        self.buckets = tuple(sorted(int(b) for b in buckets))
+        assert self.buckets and all(b > 0 for b in self.buckets)
+        self.bucket = self.buckets[-1]          # max gather per tick
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
+        self._rr = 0                            # round-robin gather offset
+        self._inflight = None                   # (ready, device labels)
+        # preallocated host staging per bucket size (double-buffered by the
+        # one-tick pipeline: staging for tick N+1 fills while N computes)
+        n_win = cfg.audio.window_samples
+        self._stage = {b: np.zeros((b, n_win), np.float32)
+                       for b in self.buckets}
         self._build_program()
 
     def _build_program(self):
@@ -144,36 +172,62 @@ class Multiplexer:
         return str(label)
 
     # -- serving loop ----------------------------------------------------------------
-    def tick(self, timeout: float = 0.0) -> int:
-        """Gather ready windows (up to ``bucket``), run one batch, log.
-        Returns the number of windows decided this tick."""
+    def _try_read(self, stream: Stream, n_win: int):
+        """Non-blocking whole-window read from the stream's ring."""
+        ring = getattr(stream.capture, "ring", None)
+        if ring is None:                    # raw source without a ring
+            return stream.capture.read_window(n_win, timeout=0.0)
+        out = ring.pop(n_win)
+        if out is None and getattr(stream.capture.source, "exhausted", False) \
+                and ring.available < n_win:
+            ring.clear()
+            stream.done = True
+        return out
+
+    def _gather(self) -> List[tuple]:
+        """Poll every stream once, non-blocking, starting at the rotating
+        offset; stop at the largest bucket."""
         n_win = self.cfg.audio.window_samples
+        n = len(self.streams)
         ready: List[tuple] = []
-        for stream in self.streams:
-            if stream.done or len(ready) >= self.bucket:
+        for k in range(n):
+            stream = self.streams[(self._rr + k) % n]
+            if stream.done:
                 continue
-            window = stream.capture.read_window(n_win, timeout=timeout)
+            window = self._try_read(stream, n_win)
             if window is None:
-                if getattr(stream.capture.source, "exhausted", False):
+                if getattr(stream.capture.source, "exhausted", False) \
+                        and getattr(stream.capture, "ring", None) is None:
                     stream.done = True
                 continue
             ready.append((stream, window))
-        if not ready:
-            return 0
+            if len(ready) >= self.bucket:
+                break
+        if n:
+            self._rr = (self._rr + 1) % n
+        return ready
 
-        raws = np.zeros((self.bucket, n_win), np.float32)
-        nts = np.zeros((self.bucket,) + np.shape(ready[0][0].noise_thresh),
+    def _dispatch(self, ready: List[tuple]):
+        """Stage into the smallest sufficient bucket and launch the device
+        batch asynchronously; returns the un-fetched device labels."""
+        bucket = next(b for b in self.buckets if b >= len(ready)) \
+            if len(ready) <= self.buckets[-1] else self.buckets[-1]
+        raws = self._stage[bucket]
+        raws[len(ready):] = 0.0
+        nts = np.zeros((bucket,) + np.shape(ready[0][0].noise_thresh),
                        np.float32)
-        vts = np.zeros((self.bucket,), np.float32)
+        vts = np.zeros((bucket,), np.float32)
         for i, (stream, window) in enumerate(ready):
-            raws[i] = window.astype(np.float32)
+            raws[i] = window
             nts[i] = stream.noise_thresh
             vts[i] = stream.vad_threshold_db
+        return self._program(self.predictor.variables, jnp.asarray(raws),
+                             jnp.asarray(nts), jnp.asarray(vts))
 
-        labels = self._program(self.predictor.variables,
-                               jnp.asarray(raws), jnp.asarray(nts),
-                               jnp.asarray(vts))
-        labels = np.asarray(labels)
+    def _resolve(self, inflight) -> int:
+        """Fetch a dispatched batch's labels and write the per-stream logs."""
+        ready, labels = inflight
+        labels = np.asarray(labels)         # the one blocking device fetch
         ts = datetime.today()
         for i, (stream, _) in enumerate(ready):
             name = self._label_name(stream, int(labels[i]))
@@ -181,12 +235,38 @@ class Multiplexer:
             stream.results.append((idx, name, ts))
         return len(ready)
 
-    def run_until_exhausted(self, max_ticks: int = 10_000) -> int:
+    def tick(self, timeout: float = 0.0) -> int:
+        """One serving step: gather ready windows (non-blocking), dispatch
+        them, then resolve the PREVIOUS tick's batch — device compute for
+        this tick overlaps the next gather.  Returns windows logged now.
+
+        ``timeout`` is accepted for backward compatibility and ignored (the
+        gather never blocks)."""
+        ready = self._gather()
+        prev, self._inflight = self._inflight, None
+        if ready:
+            self._inflight = (ready, self._dispatch(ready))
+        return self._resolve(prev) if prev is not None else 0
+
+    def flush(self) -> int:
+        """Resolve any in-flight batch (call when the serving loop stops)."""
+        prev, self._inflight = self._inflight, None
+        return self._resolve(prev) if prev is not None else 0
+
+    def run_until_exhausted(self, max_ticks: int = 100_000) -> int:
         """Drive replay/fake streams to completion; returns total decisions."""
+        import time as _time
+
         total = 0
+        idle = 0
         for _ in range(max_ticks):
-            got = self.tick(timeout=0.05)
+            got = self.tick()
             total += got
-            if got == 0 and all(s.done for s in self.streams):
-                break
-        return total
+            if got == 0 and self._inflight is None:
+                if all(s.done for s in self.streams):
+                    break
+                idle += 1
+                _time.sleep(min(0.001 * idle, 0.05))   # back off while empty
+            else:
+                idle = 0
+        return total + self.flush()

@@ -98,3 +98,104 @@ def test_multiplexer_speaker_kind(tmp_path):
     cap.stop()
     assert total == 1
     assert stream.results[0][1] in ("alice", "bob", "silent")
+
+
+def test_bucket_ladder_and_nonblocking(tmp_path):
+    """A stream with no data never stalls the tick; ready counts round up to
+    the smallest sufficient bucket."""
+    import time
+
+    import jax
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+
+    cfg = PipelineConfig()
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap",
+                      buckets=(2, 4), cfg=cfg)
+    n_win = cfg.audio.window_samples
+    rng = np.random.RandomState(0)
+
+    dispatched = []
+    orig = mux._dispatch
+
+    def spy(ready):
+        out = orig(ready)
+        dispatched.append((len(ready), out.shape[0]))
+        return out
+
+    mux._dispatch = spy
+
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    # three live streams + one permanently empty (never exhausted) stream
+    for s in range(3):
+        cap = CaptureThread(ArraySource(
+            (rng.randn(n_win) * 3000).astype(np.int16))).start()
+        mux.add_stream(f"s{s}", cap, noise)
+
+    class _Starved:
+        exhausted = False
+
+        def read(self, n):
+            time.sleep(0.01)
+            return np.zeros(0, np.int16)
+
+    starved_cap = CaptureThread(_Starved()).start()
+    mux.add_stream("starved", starved_cap, noise)
+
+    time.sleep(0.3)          # let rings fill
+    t0 = time.monotonic()
+    mux.tick()
+    gather_time = time.monotonic() - t0
+    n = mux.flush()
+    assert n == 3
+    # 3 ready -> padded to bucket 4 (smallest sufficient)
+    assert dispatched[0] == (3, 4)
+    # the starved stream cost a poll, not a timeout: the whole tick incl.
+    # compile dispatch must not include any multi-second blocking wait
+    assert gather_time < 30.0   # compile dominates; no 2 s/stream timeouts
+
+    # second round: a fresh stream is the only one with data -> bucket 2
+    cap_new = CaptureThread(ArraySource(
+        (rng.randn(n_win) * 3000).astype(np.int16))).start()
+    mux.add_stream("late", cap_new, noise)
+    time.sleep(0.2)
+    mux.tick()
+    mux.flush()
+    assert dispatched[-1] == (1, 2)
+    for s in mux.streams:
+        s.capture.stop()
+
+
+def test_round_robin_fairness(tmp_path):
+    """With more ready streams than the bucket, rotation serves all of them
+    across consecutive ticks."""
+    import jax
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
+
+    cfg = PipelineConfig()
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap",
+                      buckets=(2,), cfg=cfg)
+    n_win = cfg.audio.window_samples
+    rng = np.random.RandomState(1)
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    for s in range(4):      # 4 streams, bucket 2 -> two ticks per round
+        cap = CaptureThread(ArraySource(
+            np.tile((rng.randn(n_win) * 3000).astype(np.int16), 2))).start()
+        mux.add_stream(f"s{s}", cap, noise)
+    total = mux.run_until_exhausted()
+    assert total == 8
+    assert all(len(s.results) == 2 for s in mux.streams), \
+        [(s.name, len(s.results)) for s in mux.streams]
+    for s in mux.streams:
+        s.capture.stop()

@@ -1,25 +1,29 @@
-"""Benchmark: streaming overlap-detection throughput on one chip.
+"""Benchmark: every serving/training axis of the framework on one chip.
 
-End-to-end hot path per window — raw PCM (2.56 s captured audio) -> masked
-prefix -> fused GEMM DSP (STFT/mel/ZCR image + PNG-quantization) -> ResBLSTM
-forward -> label — as ONE compiled XLA program, batched over independent
-windows (the TPU replacement for the reference's disk-round-trip
-`record_on_pc.py:114-173` loop at batch 1).
+One JSON line on the LAST stdout line.  Headline metric = streaming
+overlap-detection throughput (real-time factor per chip); the same line
+carries the other axes the deployment cares about:
 
-Timing methodology: the dev tunnel to the chip has high per-call latency and
-an async `block_until_ready`, so K inference steps are chained inside a
-single jitted `lax.scan` (each step's input depends on the previous step's
-labels to prevent loop hoisting) and the clock stops on a 4-byte host fetch
-of the final output.  This measures on-device throughput the way a real
-serving binary would see it.
+  batch_step_ms_f32 / _bf16   device window->label step, batch 512
+  speaker_rtf / speaker_step_ms  speaker-ID inference, batch 512
+  registration_finetune_s     one 520-epoch on-device fine-tune attempt
+                              (the north-star registration flow)
+  live_rtf_64_streams         host-inclusive 64-stream serving loop
+                              (ring buffers -> Multiplexer -> logs)
 
-Prints one JSON line:
-  metric      = real-time factor (audio-seconds processed per second per chip)
-  vs_baseline = RTF / 1000 (BASELINE.json north-star: >1000x RT per chip;
-                the reference publishes no speed numbers of its own)
+Timing methodology (device axes): the dev tunnel to the chip has high
+per-call latency and an async `block_until_ready`, so K inference steps are
+chained inside a single jitted `lax.scan` (each step's input depends on the
+previous step's labels to prevent loop hoisting) and the clock stops on a
+4-byte host fetch of the final output.  Host-inclusive axes are timed as
+plain wall clock around the serving loop.
+
+Each secondary axis is guarded: a failure prints a warning to stderr and
+omits the key rather than killing the headline.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -29,68 +33,211 @@ B = 512          # windows per batch (30 ms f32 step: best RTF under the
 K = 8            # chained steps inside the jit
 
 
-def main():
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _chained_step_seconds(fwd, variables, buf, n):
     import jax
     import jax.numpy as jnp
 
-    from mmla_audio_tpu.core.config import AudioConfig
+    @jax.jit
+    def chained(variables, buf, n):
+        def body(carry, _):
+            b = carry
+            labels, probs = fwd(variables, b, n)
+            # data dependency between steps prevents loop hoisting
+            b = b + labels.sum().astype(b.dtype) * 1e-12
+            return b, labels[0]
+        _, outs = jax.lax.scan(body, buf, jnp.arange(K))
+        return outs
+
+    out = chained(variables, buf, n)     # compile + warm
+    _ = np.asarray(out[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(variables, buf, n)
+        _ = np.asarray(out[-1])          # 4-byte sync point
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / K
+
+
+def bench_overlap(window_sec, n_samples):
+    import jax
+    import jax.numpy as jnp
+
     from mmla_audio_tpu.inference import OverlapPredictor
     from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    buf = jnp.asarray((rng.randn(B, n_samples) * 3000).astype(np.float32))
+    n = jnp.full((B,), n_samples, jnp.int32)
+
+    _log("overlap f32 ...")
+    step_f32 = _chained_step_seconds(
+        OverlapPredictor(variables).lower_fn(), variables, buf, n)
+    _log(f"overlap f32 step {step_f32 * 1e3:.2f} ms; bf16 ...")
+    step_bf16 = _chained_step_seconds(
+        OverlapPredictor(variables, compute_dtype=jnp.bfloat16).lower_fn(),
+        variables, buf, n)
+    _log(f"overlap bf16 step {step_bf16 * 1e3:.2f} ms")
+    return step_f32, step_bf16
+
+
+def bench_speaker(window_sec, n_samples):
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.inference import SpeakerPredictor
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+    model = SpeakerResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(1))
+    pred = SpeakerPredictor(variables)
+    rng = np.random.RandomState(1)
+    buf = jnp.asarray((rng.randn(B, n_samples) * 3000).astype(np.float32))
+    n = jnp.full((B,), n_samples, jnp.int32)
+    _log("speaker inference ...")
+    step = _chained_step_seconds(pred.lower_fn(), variables, buf, n)
+    _log(f"speaker step {step * 1e3:.2f} ms")
+    return step
+
+
+def bench_registration():
+    """One full 520-epoch fine-tune attempt, reference hyperparameters
+    (benchmarks/transfer_bench.py, condensed): steady-state seconds."""
+    import jax
+
+    from mmla_audio_tpu.core.config import SpeakerModelConfig, TransferConfig
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+    from mmla_audio_tpu.train.transfer import TransferLearner
+
+    cfg = SpeakerModelConfig()
+    base_vars = SpeakerResBLSTM(cfg).init_variables(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    n_speakers, windows_each = 3, 23
+    x = rng.randn(n_speakers * windows_each, 256, 39).astype(np.float32)
+    for c in range(n_speakers):
+        x[c * windows_each:(c + 1) * windows_each,
+          :, c * 12:(c + 1) * 12] += 2.0
+    y = np.zeros((len(x), n_speakers), np.float32)
+    for c in range(n_speakers):
+        y[c * windows_each:(c + 1) * windows_each, c] = 1.0
+    learner = TransferLearner(base_vars, n_speakers, model_cfg=cfg,
+                              cfg=TransferConfig())
+    _log("registration fine-tune (compile) ...")
+    t0 = time.perf_counter()
+    learner.fit_once(x, y, seed=0)
+    t_first = time.perf_counter() - t0
+    _log(f"first attempt {t_first:.1f} s; steady ...")
+    t0 = time.perf_counter()
+    _, acc, _ = learner.fit_once(x, y, seed=1)
+    t_steady = time.perf_counter() - t0
+    _log(f"steady attempt {t_steady:.2f} s (acc {float(acc):.3f})")
+    return t_steady, t_first
+
+
+def bench_live_64(window_sec):
+    """Host-inclusive 64-stream serving loop (the Multiplexer path)."""
+    import tempfile
+
+    import jax
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.streaming.capture import (
+        ArraySource,
+        CaptureThread,
+        FakePCMSource,
+    )
+    from mmla_audio_tpu.streaming.multiplex import Multiplexer
+
+    n_streams, windows = 64, 4
+    cfg = PipelineConfig()
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    noise = (np.random.RandomState(1).randn(160000) * 20).astype(np.int16)
+    _log(f"live {n_streams}-stream serving loop ...")
+    with tempfile.TemporaryDirectory() as root:
+        mux = Multiplexer(pred, root, kind="overlap", bucket=n_streams,
+                          cfg=cfg)
+        caps = []
+        total = (windows + 2) * cfg.audio.window_samples
+        for s in range(n_streams):
+            src = FakePCMSource(cfg.audio, seed=s, realtime=False)
+            cap = CaptureThread(ArraySource(src.read(total)),
+                                cfg.audio).start()
+            caps.append(cap)
+            mux.add_stream(f"s{s}", cap, noise)
+        deadline = time.time() + 300
+        while mux.tick() == 0 and mux._inflight is None \
+                and time.time() < deadline:
+            time.sleep(0.005)
+        mux.flush()                        # compile + warm done
+        t0 = time.perf_counter()
+        n_decided = mux.run_until_exhausted()
+        dt = time.perf_counter() - t0
+        for c in caps:
+            c.stop()
+    rtf = n_decided * window_sec / dt
+    _log(f"live 64-stream: {n_decided} windows, "
+         f"{dt / max(n_decided, 1) * 1e3:.2f} ms/window, {rtf:.0f}x RT")
+    return rtf, dt / max(n_decided, 1)
+
+
+def main():
+    import jax
+
+    from mmla_audio_tpu.core.config import AudioConfig
 
     audio = AudioConfig()
     window_sec = audio.window_seconds            # 2.56 s captured per decision
     n_samples = audio.window_samples             # 40960
 
-    model = OverlapResBLSTM()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-
-    rng = np.random.RandomState(0)
-    buf = jnp.asarray((rng.randn(B, n_samples) * 3000).astype(np.float32))
-    n = jnp.full((B,), n_samples, jnp.int32)
-
-    def measure(pred):
-        fwd = pred.lower_fn()
-
-        @jax.jit
-        def chained(variables, buf, n):
-            def body(carry, _):
-                b = carry
-                labels, probs = fwd(variables, b, n)
-                # data dependency between steps prevents loop hoisting
-                b = b + labels.sum().astype(b.dtype) * 1e-12
-                return b, labels[0]
-            _, outs = jax.lax.scan(body, buf, jnp.arange(K))
-            return outs
-
-        out = chained(variables, buf, n)     # compile + warm
-        _ = np.asarray(out[-1])
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = chained(variables, buf, n)
-            _ = np.asarray(out[-1])          # 4-byte sync point
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times)) / K
-
-    # headline: the parity-exact f32 serving config
-    step_f32 = measure(OverlapPredictor(variables))
-    # speed config: bf16 model forward (DSP stays f32)
-    step_bf16 = measure(OverlapPredictor(variables,
-                                         compute_dtype=jnp.bfloat16))
-
-    rtf = B * window_sec / step_f32
-    print(json.dumps({
+    out = {
         "metric": "overlap_rtf_audio_sec_per_sec_per_chip",
-        "value": round(rtf, 1),
         "unit": "x realtime",
-        "vs_baseline": round(rtf / 1000.0, 3),
         "batch": B,
         "chained_steps": K,
+        "device": str(jax.devices()[0]),
+    }
+
+    step_f32, step_bf16 = bench_overlap(window_sec, n_samples)
+    rtf = B * window_sec / step_f32
+    out.update({
+        "value": round(rtf, 1),
+        "vs_baseline": round(rtf / 1000.0, 3),
         "batch_step_ms_f32": round(step_f32 * 1000.0, 3),
         "batch_step_ms_bf16": round(step_bf16 * 1000.0, 3),
         "rtf_bf16": round(B * window_sec / step_bf16, 1),
-        "device": str(jax.devices()[0]),
-    }))
+    })
+
+    for name, fn in (
+        ("speaker", lambda: bench_speaker(window_sec, n_samples)),
+        ("registration", bench_registration),
+        ("live64", lambda: bench_live_64(window_sec)),
+    ):
+        try:
+            if name == "speaker":
+                step = fn()
+                out["speaker_step_ms"] = round(step * 1000.0, 3)
+                out["speaker_rtf"] = round(B * window_sec / step, 1)
+            elif name == "registration":
+                t_steady, t_first = fn()
+                out["registration_finetune_s"] = round(t_steady, 2)
+                out["registration_first_compile_s"] = round(t_first, 1)
+            else:
+                rtf64, per_win = fn()
+                out["live_rtf_64_streams"] = round(rtf64, 1)
+                out["live_64_per_window_ms"] = round(per_win * 1000.0, 2)
+        except Exception as e:           # noqa: BLE001 — axis must not kill headline
+            _log(f"WARNING: {name} axis failed: {type(e).__name__}: {e}")
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,176 @@
+"""Stage-level timing + layout experiments for the overlap conv path.
+
+Variants (all mathematically identical to the production forward):
+  stem          stem conv only
+  stage0/1/2    truncated prefixes of the conv trunk
+  head          mel-mean + BiLSTM + head on a precomputed trunk output
+  transposed    whole model with (mel, time) swapped — kernels transposed,
+                input transposed; same math, different XLA tiling
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+import numpy as np
+
+B = int(os.environ.get("PROFILE_B", 512))
+K = int(os.environ.get("PROFILE_K", 8))
+
+
+def _measure(fn, x):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(x):
+        def body(carry, _):
+            out = fn(carry)
+            bump = jax.tree_util.tree_leaves(out)[0].sum()
+            return carry + bump.astype(carry.dtype) * 1e-12, \
+                jax.tree_util.tree_leaves(out)[0].ravel()[0]
+        _, outs = jax.lax.scan(body, x, jnp.arange(K))
+        return outs
+
+    out = chained(x)
+    _ = np.asarray(out[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(x)
+        _ = np.asarray(out[-1])
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)) / K * 1e3, 3)
+
+
+def main():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import OverlapModelConfig
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM, ResBlock2D
+    from mmla_audio_tpu.models.layers import BiLSTM, leaky_relu
+
+    cfg = OverlapModelConfig()
+    model = OverlapResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray((rng.rand(B, 128, 151, 3) * 255).astype(np.float32))
+
+    out = {"batch": B, "device": str(jax.devices()[0])}
+
+    # --- truncated prefixes -------------------------------------------------
+    def prefix(n_stages, n_blocks=3):
+        def fn(x):
+            net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME",
+                          name="stem").apply(
+                {"params": p["stem"]}, x)
+            for stage in range(n_stages):
+                blocks = n_blocks if stage == n_stages - 1 else 3
+                for block in range(blocks):
+                    name = f"stage{stage}_block{block}"
+                    net = ResBlock2D(cfg.stage_filters[stage],
+                                     pool=(block == 0),
+                                     bn_momentum=cfg.bn_momentum,
+                                     bn_eps=cfg.bn_eps).apply(
+                        {"params": p[name], "batch_stats": s[name]}, net)
+            return net
+        return fn
+
+    out["stem_ms"] = _measure(prefix(0), img)
+    print("[stage] stem", out["stem_ms"], file=sys.stderr, flush=True)
+    out["thru_stage0_ms"] = _measure(prefix(1), img)
+    print("[stage] s0", out["thru_stage0_ms"], file=sys.stderr, flush=True)
+    out["thru_stage1_ms"] = _measure(prefix(2), img)
+    print("[stage] s1", out["thru_stage1_ms"], file=sys.stderr, flush=True)
+    out["thru_stage2_ms"] = _measure(prefix(3), img)
+    print("[stage] s2", out["thru_stage2_ms"], file=sys.stderr, flush=True)
+
+    # --- head on trunk output ------------------------------------------------
+    trunk_out = jnp.asarray(
+        rng.randn(B, 16, 19, 128).astype(np.float32))
+
+    def head(x):
+        net = jnp.mean(x, axis=1)
+        net = BiLSTM(cfg.lstm_units).apply({"params": p["BiLSTM_0"]}, net)
+        net = leaky_relu(net)
+        return net @ p["head"]["kernel"] + p["head"]["bias"]
+
+    out["head_ms"] = _measure(head, trunk_out)
+    print("[stage] head", out["head_ms"], file=sys.stderr, flush=True)
+
+    # --- transposed layout (mel <-> time) ------------------------------------
+    def transpose_tree(params):
+        import copy
+        q = jax.tree_util.tree_map(np.asarray, copy.deepcopy(params))
+
+        def t(d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    t(v)
+                elif k == "kernel" and np.ndim(v) == 4:
+                    d[k] = np.transpose(v, (1, 0, 2, 3))   # swap H/W taps
+        t(q)
+        return jax.tree_util.tree_map(jnp.asarray, q)
+
+    pt = transpose_tree(p)
+
+    from mmla_audio_tpu.models.layers import KerasBatchNorm
+
+    def t_block(name, filters, pool, net):
+        bp, bs = pt[name], s[name]
+        res = net
+        if pool:
+            res = nn.Conv(filters, (1, 1), strides=(2, 2), padding="SAME"
+                          ).apply({"params": bp["shortcut"]}, res)
+        o = KerasBatchNorm(cfg.bn_momentum, cfg.bn_eps).apply(
+            {"params": bp["KerasBatchNorm_0"],
+             "batch_stats": bs["KerasBatchNorm_0"]}, net)
+        o = nn.elu(o)
+        o = nn.Conv(filters, (3, 3), padding="SAME").apply(
+            {"params": bp["Conv_0"]}, o)
+        o = KerasBatchNorm(cfg.bn_momentum, cfg.bn_eps).apply(
+            {"params": bp["KerasBatchNorm_1"],
+             "batch_stats": bs["KerasBatchNorm_1"]}, o)
+        o = nn.elu(o)
+        o = nn.Conv(filters, (1, 4), padding="SAME").apply(
+            {"params": bp["Conv_1"]}, o)   # (4,1) taps transposed to (1,4)
+        if pool:
+            o = nn.max_pool(o, (2, 2), strides=(2, 2), padding="SAME")
+        return res + o
+
+    def transposed(x):
+        net = x.transpose(0, 2, 1, 3)        # (B, 151, 128, 3)
+        net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME"
+                      ).apply({"params": pt["stem"]}, net)
+        for stage in range(3):
+            for block in range(3):
+                net = t_block(f"stage{stage}_block{block}",
+                              cfg.stage_filters[stage], block == 0, net)
+        net = jnp.mean(net, axis=2)          # mel axis is now axis 2
+        net = BiLSTM(cfg.lstm_units).apply({"params": pt["BiLSTM_0"]}, net)
+        net = leaky_relu(net)
+        return net @ pt["head"]["kernel"] + pt["head"]["bias"]
+
+    # parity check on a slice: transposed == original
+    ref = np.asarray(model.apply(variables, img[:4]))
+    got = np.asarray(transposed(img[:4]))
+    out["transpose_max_diff"] = float(np.abs(ref - got).max())
+    out["transposed_ms"] = _measure(transposed, img)
+    print("[stage] transposed", out["transposed_ms"],
+          "maxdiff", out["transpose_max_diff"], file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,12 +80,24 @@ def cmd_setup(args):
     print(f"[INFO] experiment tree ready under {dirs.root}")
 
 
+def _live_cfg(args):
+    """PipelineConfig for live commands, honoring --vad."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+
+    cfg = PipelineConfig()
+    decision = getattr(args, "vad", None)
+    if decision:
+        cfg = dataclasses.replace(cfg, vad=VadConfig(decision=decision))
+    return cfg
+
+
 def cmd_overlap_live(args):
-    from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.streaming.edge import EdgeOverlapSession
     from mmla_audio_tpu.streaming.session import OverlapSession
 
-    cfg = PipelineConfig()
+    cfg = _live_cfg(args)
     pred = _predictor_overlap(args.ckpt, cfg)
     cap = _capture(args, cfg)
     if args.edge:
@@ -109,11 +121,10 @@ def cmd_overlap_live(args):
 
 
 def cmd_speaker_live(args):
-    from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.streaming.edge import EdgeSpeakerSession
     from mmla_audio_tpu.streaming.session import SpeakerSession
 
-    cfg = PipelineConfig()
+    cfg = _live_cfg(args)
     pred = _predictor_speaker(args.ckpt, cfg)
     cap = _capture(args, cfg)
     if getattr(args, "edge", False):
@@ -359,6 +370,9 @@ def main(argv=None):
             p.add_argument("--windows", type=int, default=None)
             p.add_argument("--calibrate-seconds", type=float, default=None)
             p.add_argument("--save-recordings", action="store_true")
+            p.add_argument("--vad", choices=["energy", "gmm"], default=None,
+                           help="per-frame VAD decision: calibrated energy "
+                                "(default) or WebRTC-architecture GMM")
 
     p = sub.add_parser("setup")
     p.add_argument("--root", default="experiment")

@@ -1,0 +1,248 @@
+"""Probe: fused residual block as ONE Pallas kernel vs XLA's fusion.
+
+The overlap model is activation-traffic-bound (CLAUDE.md: f32->bf16 halves
+traffic and saves ~9.4 ms of the 23.6 ms model step).  XLA materialises every
+conv's output in HBM; a whole pre-activation residual block
+(BN+ELU -> conv3x3 -> BN+ELU -> conv4x1 -> add) fused into one kernel reads
+the block input once and writes the block output once.
+
+v1 (plain (P, C) rows, C=32 lanes) measured 11.1 ms vs XLA 7.0 ms at
+B=512 x (64,76,32): every VPU pass and GEMM ran at 25% lane occupancy.
+
+v2 (this file) pixel-packs q = 128/C consecutive pixels per row — a pure
+row-major bitcast, (P, C) -> (P/q, 128) — so elementwise ops are full-rate,
+the 9-tap im2col concat is tile-aligned, and the conv GEMMs run at full MXU
+dims with block-diagonal weights (q x FLOPs overhead, irrelevant while
+bandwidth-bound):
+  conv1: (P/q, 9*128) @ (9*128, 128)
+  conv2: (P/q, 4*128) @ (4*128, 128)
+Pixel shifts: dh taps shift whole rows (W % q == 0); dw = +-1 taps are a
+row slice + lane roll by C + boundary select.
+
+Run on TPU:   python benchmarks/fused_block_probe.py
+Run on CPU (numerics only): PROBE_CPU=1 python benchmarks/fused_block_probe.py
+"""
+
+import os
+import sys
+import time
+import json
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+if os.environ.get("PROBE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, W, C = 64, 76, 32
+P = H * W
+Q = 128 // C            # pixels packed per 128-lane row
+R = P // Q              # packed rows per sample
+RW = W // Q             # packed rows per image row (W % Q == 0)
+# Scratch margins: conv1 row shifts reach +-(RW + 1); conv2 reach -RW..2*RW.
+OFF = ((2 * RW + 8) // 8) * 8
+TPAD = R + OFF + 2 * RW + 8
+B = int(os.environ.get("PROBE_B", 512))
+K_CHAIN = int(os.environ.get("PROBE_K", 32))
+INTERPRET = bool(os.environ.get("PROBE_CPU"))
+
+
+def _elu(x):
+    # jax.nn.elu lowers through expm1, which Mosaic lacks; exp(x)-1 differs
+    # only at |x| ~ 1e-8 (float32 rounding), irrelevant at these magnitudes.
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _fused_block_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref,
+                        g1_ref, bb1_ref, g2_ref, bb2_ref, out_ref,
+                        tpad_ref):
+    xp = x_ref[0]                                   # (R, 128) packed
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    rmod = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) % RW
+
+    t = _elu(xp * g1_ref[0] + bb1_ref[0])
+    tpad_ref[:] = jnp.zeros_like(tpad_ref)
+    tpad_ref[pl.ds(OFF, R), :] = t
+
+    def row_slice(shift_rows):
+        return tpad_ref[pl.ds(OFF + shift_rows, R), :]
+
+    taps = []
+    for dh in (-1, 0, 1):
+        base = dh * RW
+        for dw in (-1, 0, 1):
+            if dw == 0:
+                tap = row_slice(base)
+            elif dw == 1:
+                # left-shift by C lanes == circular roll by 128 - C
+                cur = pltpu.roll(row_slice(base), 128 - C, 1)
+                nxt = pltpu.roll(row_slice(base + 1), 128 - C, 1)
+                tap = jnp.where(lane < (Q - 1) * C, cur, nxt)
+                # w = W-1 has no right neighbour
+                tap = jnp.where((rmod == RW - 1) & (lane >= (Q - 1) * C),
+                                0.0, tap)
+            else:
+                cur = pltpu.roll(row_slice(base), C, 1)
+                prv = pltpu.roll(row_slice(base - 1), C, 1)
+                tap = jnp.where(lane >= C, cur, prv)
+                tap = jnp.where((rmod == 0) & (lane < C), 0.0, tap)
+            taps.append(tap)
+    patches = jnp.concatenate(taps, axis=1)        # (R, 9*128)
+    y = jnp.dot(patches, k1_ref[:], preferred_element_type=jnp.float32)
+    y = y + b1_ref[0]
+
+    t2 = _elu(y * g2_ref[0] + bb2_ref[0])
+    tpad_ref[:] = jnp.zeros_like(tpad_ref)
+    tpad_ref[pl.ds(OFF, R), :] = t2
+    taps2 = [tpad_ref[pl.ds(OFF + (j - 1) * RW, R), :] for j in range(4)]
+    patches2 = jnp.concatenate(taps2, axis=1)      # (R, 4*128)
+    out = jnp.dot(patches2, k2_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = xp + out + b2_ref[0]
+
+
+@jax.jit
+def fused_block(xp, k1p, b1p, k2p, b2p, g1p, bb1p, g2p, bb2p):
+    """xp (B, R, 128) pixel-packed -> (B, R, 128)."""
+    spec_plane = pl.BlockSpec((1, R, 128), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    spec_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fused_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, R, 128), jnp.float32),
+        grid=(B,),
+        in_specs=[spec_plane] + [spec_full] * 8,
+        out_specs=spec_plane,
+        scratch_shapes=[pltpu.VMEM((TPAD, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(xp, k1p, b1p, k2p, b2p, g1p, bb1p, g2p, bb2p)
+
+
+# --- XLA reference (the production ResBlock2D math, inference mode) --------
+
+def xla_block(x_img, k1_hwio, b1c, k2_hwio, b2c, g1, bb1, g2, bb2):
+    """x_img (B, H, W, C) NHWC; same folded-BN math as the kernel."""
+    t = jax.nn.elu(x_img * g1 + bb1)
+    y = jax.lax.conv_general_dilated(
+        t, k1_hwio, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1c
+    t2 = jax.nn.elu(y * g2 + bb2)
+    out = jax.lax.conv_general_dilated(
+        t2, k2_hwio, (1, 1), [(1, 2), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2c
+    return x_img + out
+
+
+def pack_weights(k_taps_ci_co, n_taps):
+    """(taps*C, C) tap-major kernel -> block-diag (taps*128, 128) over the
+    Q pixel slots: K[k*128 + s*C + ci, s*C + co] = K[k, ci, co]."""
+    k = k_taps_ci_co.reshape(n_taps, C, C)
+    out = np.zeros((n_taps * 128, 128), np.float32)
+    for tap in range(n_taps):
+        for s in range(Q):
+            out[tap * 128 + s * C:(tap * 128 + (s + 1) * C),
+                s * C:(s + 1) * C] = k[tap]
+    return out
+
+
+def tile_lanes(v):
+    """(1, C) channel vector -> (1, 128) repeated per pixel slot."""
+    return np.tile(v, (1, Q)).astype(np.float32)
+
+
+def make_params(rng):
+    k1_hwio = rng.randn(3, 3, C, C).astype(np.float32) * 0.05
+    k2_hwio = rng.randn(4, 1, C, C).astype(np.float32) * 0.05
+    b1c = rng.randn(1, C).astype(np.float32) * 0.1
+    b2c = rng.randn(1, C).astype(np.float32) * 0.1
+    g1 = 1.0 + 0.1 * rng.randn(1, C).astype(np.float32)
+    bb1 = 0.1 * rng.randn(1, C).astype(np.float32)
+    g2 = 1.0 + 0.1 * rng.randn(1, C).astype(np.float32)
+    bb2 = 0.1 * rng.randn(1, C).astype(np.float32)
+    packed = (pack_weights(k1_hwio.reshape(9 * C, C), 9),
+              tile_lanes(b1c), pack_weights(k2_hwio.reshape(4 * C, C), 4),
+              tile_lanes(b2c), tile_lanes(g1), tile_lanes(bb1),
+              tile_lanes(g2), tile_lanes(bb2))
+    return (k1_hwio, b1c, k2_hwio, b2c, g1, bb1, g2, bb2), packed
+
+
+def run_fused(x, packed, nb):
+    global B
+    saved = B
+    B = nb
+    try:
+        xp = jnp.asarray(x.reshape(nb, R, 128))
+        out = fused_block(xp, *[jnp.asarray(p) for p in packed])
+        return np.asarray(out).reshape(nb, H, W, C)
+    finally:
+        B = saved
+
+
+def check_numerics():
+    rng = np.random.RandomState(0)
+    plain, packed = make_params(rng)
+    nb = 4
+    x = rng.randn(nb, H, W, C).astype(np.float32)
+    ref = np.asarray(xla_block(jnp.asarray(x),
+                               *[jnp.asarray(p) for p in plain]))
+    got = run_fused(x, packed, nb)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    print(f"numerics: max rel err {err:.2e}")
+    # On TPU both paths take bf16 MXU passes with different accumulation
+    # orders; on CPU (interpret mode) the compare is exact f32.
+    assert err < (1e-4 if INTERPRET else 2e-3), err
+    return True
+
+
+def _time_chained(fn, x, *rest):
+    @jax.jit
+    def chained(x, *rest):
+        def body(carry, _):
+            out = fn(carry, *rest)
+            return carry + out.ravel()[0] * 1e-12, out.ravel()[0]
+        _, outs = jax.lax.scan(body, x, jnp.arange(K_CHAIN))
+        return outs
+
+    out = chained(x, *rest)
+    _ = np.asarray(out[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(x, *rest)
+        _ = np.asarray(out[-1])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / K_CHAIN
+
+
+def bench():
+    rng = np.random.RandomState(0)
+    plain, packed = make_params(rng)
+    x = rng.randn(B, H, W, C).astype(np.float32)
+
+    t_xla = _time_chained(xla_block, jnp.asarray(x),
+                          *[jnp.asarray(p) for p in plain])
+    print(f"xla   block: {t_xla * 1e3:.3f} ms")
+
+    t_fused = _time_chained(fused_block, jnp.asarray(x.reshape(B, R, 128)),
+                            *[jnp.asarray(p) for p in packed])
+    print(f"fused block: {t_fused * 1e3:.3f} ms")
+    print(json.dumps({"xla_ms": round(t_xla * 1e3, 3),
+                      "fused_ms": round(t_fused * 1e3, 3),
+                      "speedup": round(t_xla / t_fused, 3),
+                      "B": B, "K": K_CHAIN,
+                      "device": str(jax.devices()[0])}))
+
+
+if __name__ == "__main__":
+    check_numerics()
+    if not INTERPRET:
+        bench()

@@ -1,0 +1,144 @@
+"""In-model go/no-go for the fused residual-block kernel.
+
+The isolated-block comparison (fused_block_probe.py) is distorted: an
+isolated XLA block measures ~7.0 ms, but in-model prefix deltas attribute
+only ~2.1 ms to each non-pool stage0 block.  This probe measures, all
+within the REAL model prefix (stem -> stage0):
+
+  xla_full      stem + block0 + b1 + b2          (production path)
+  xla_b0        stem + block0                     (prefix)
+  fused_full    stem + block0 + fused(b1) + fused(b2)
+
+using the production init variables, folded inference BN, so the
+fused-vs-XLA delta is measured under the model's real surrounding layout.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = int(os.environ.get("PROBE_B", 512))
+K_CHAIN = int(os.environ.get("PROBE_K", 16))
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.fused_block_probe import (
+    fused_block, pack_weights, tile_lanes, H, W, C, R,
+)
+import benchmarks.fused_block_probe as fbp
+
+import flax.linen as nn
+from mmla_audio_tpu.core.config import OverlapModelConfig
+from mmla_audio_tpu.models.overlap import OverlapResBLSTM, ResBlock2D
+
+
+def fold_bn(block_params, block_stats, which: int):
+    bn = block_params[f"KerasBatchNorm_{which}"]["BatchNorm_0"]
+    st = block_stats[f"KerasBatchNorm_{which}"]["BatchNorm_0"]
+    inv = 1.0 / np.sqrt(np.asarray(st["var"]) + 1e-3)
+    g = np.asarray(bn["scale"]) * inv
+    b = np.asarray(bn["bias"]) - np.asarray(st["mean"]) * g
+    return g[None, :].astype(np.float32), b[None, :].astype(np.float32)
+
+
+def packed_block_params(p, s, name):
+    bp, bs = p[name], s[name]
+    k1 = np.asarray(bp["Conv_0"]["kernel"])          # (3,3,C,C) HWIO
+    k2 = np.asarray(bp["Conv_1"]["kernel"])          # (4,1,C,C)
+    b1 = np.asarray(bp["Conv_0"]["bias"])[None, :]
+    b2 = np.asarray(bp["Conv_1"]["bias"])[None, :]
+    g1, bb1 = fold_bn(bp, bs, 0)
+    g2, bb2 = fold_bn(bp, bs, 1)
+    return tuple(jnp.asarray(a) for a in (
+        pack_weights(k1.reshape(9 * C, C), 9), tile_lanes(b1),
+        pack_weights(k2.reshape(4 * C, C), 4), tile_lanes(b2),
+        tile_lanes(g1), tile_lanes(bb1), tile_lanes(g2), tile_lanes(bb2)))
+
+
+def main():
+    fbp.B = B
+    cfg = OverlapModelConfig()
+    model = OverlapResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    p, s = variables["params"], variables["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray((rng.rand(B, 128, 151, 3) * 255).astype(np.float32))
+
+    def apply_block(x, name, pool):
+        blk = ResBlock2D(cfg.stage_filters[0], pool=pool,
+                         bn_momentum=cfg.bn_momentum, bn_eps=cfg.bn_eps)
+        return blk.apply({"params": p[name],
+                          "batch_stats": jax.tree_util.tree_map(
+                              lambda v: v, s[name])}, x, False)
+
+    def stem_b0(x):
+        net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME",
+                      name="stem").apply({"params": p["stem"]}, x)
+        return apply_block(net, "stage0_block0", True)
+
+    def xla_full(x):
+        net = stem_b0(x)
+        net = apply_block(net, "stage0_block1", False)
+        net = apply_block(net, "stage0_block2", False)
+        return net
+
+    pk1 = packed_block_params(p, s, "stage0_block1")
+    pk2 = packed_block_params(p, s, "stage0_block2")
+
+    def fused_full(x):
+        net = stem_b0(x)                              # (B, 64, 76, 32)
+        nb = net.shape[0]
+        netp = net.reshape(nb, R, 128)
+        netp = fused_block(netp, *pk1)
+        netp = fused_block(netp, *pk2)
+        return netp.reshape(nb, H, W, C)
+
+    # numerics first
+    small = img[:8]
+    fbp.B = 8
+    ref = np.asarray(jax.jit(xla_full)(small))
+    got = np.asarray(jax.jit(fused_full)(small))
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    print(f"in-model numerics: max rel err {err:.2e}")
+    assert err < 5e-3, err
+    fbp.B = B
+
+    def measure(fn):
+        @jax.jit
+        def chained(x):
+            def body(carry, _):
+                out = fn(carry)
+                return carry + out.ravel()[0] * 1e-12, out.ravel()[0]
+            _, outs = jax.lax.scan(body, x, jnp.arange(K_CHAIN))
+            return outs
+        out = chained(img)
+        _ = np.asarray(out[-1])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chained(img)
+            _ = np.asarray(out[-1])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / K_CHAIN
+
+    res = {}
+    for name, fn in (("xla_b0", stem_b0), ("xla_full", xla_full),
+                     ("fused_full", fused_full)):
+        res[name] = round(measure(fn) * 1e3, 3)
+        print(f"{name}: {res[name]} ms")
+    res["xla_b1b2"] = round(res["xla_full"] - res["xla_b0"], 3)
+    res["fused_b1b2"] = round(res["fused_full"] - res["xla_b0"], 3)
+    res.update({"B": B, "K": K_CHAIN, "device": str(jax.devices()[0])})
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Feasibility probe: int8 convolution on TPU via XLA.
+
+v5e has 394 int8 TOPS (2x bf16) and int8 activations quarter the f32 HBM
+traffic of this traffic-bound model.  Before building a quantized serving
+path, measure whether XLA's TPU backend compiles int8 conv_general_dilated
+to something fast, on the model's hottest conv shapes.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B = int(os.environ.get("PROBE_B", 512))
+K_CHAIN = int(os.environ.get("PROBE_K", 16))
+
+
+def time_fn(fn, *args):
+    @jax.jit
+    def chained(x, *rest):
+        def body(carry, _):
+            out = fn(carry, *rest)
+            v = out.ravel()[0]
+            # real (but value-negligible) data dependency so XLA cannot
+            # hoist the body out of the scan
+            if jnp.issubdtype(carry.dtype, jnp.integer):
+                bump = (v >> 7).astype(carry.dtype)      # 0 or -1 LSB
+            else:
+                bump = v.astype(carry.dtype) * 1e-12
+            return carry + bump, v
+        _, outs = jax.lax.scan(body, x, jnp.arange(K_CHAIN))
+        return outs
+
+    out = chained(*args)
+    _ = np.asarray(out[-1])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(*args)
+        _ = np.asarray(out[-1])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K_CHAIN
+
+
+def conv(x, k, out_dtype):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype)
+
+
+def chain_int8(x_q, k_qs, scales):
+    """Realistic quantized block chain: int8 conv -> int32 -> dequant ->
+    affine+ELU in f32 -> requant to int8, repeated."""
+    for k_q, s in zip(k_qs, scales):
+        acc = conv(x_q, k_q, jnp.int32)
+        f = acc.astype(jnp.float32) * s
+        f = jnp.where(f > 0, f, jnp.exp(jnp.minimum(f, 0.0)) - 1.0)
+        x_q = jnp.clip(jnp.round(f * 16.0), -127, 127).astype(jnp.int8)
+    return x_q
+
+
+def chain_bf16(x, ks):
+    for k in ks:
+        y = conv(x, k, jnp.bfloat16)
+        x = jax.nn.elu(y).astype(jnp.bfloat16)
+    return x
+
+
+def bench_chain(rng, res):
+    """4-conv chain at stage0 bulk geometry (64,76,32)."""
+    xs, ks = (B, 64, 76, 32), (3, 3, 32, 32)
+    xf = rng.randn(*xs).astype(np.float32)
+    kfs = [(rng.randn(*ks) * 0.05).astype(np.float32) for _ in range(4)]
+    xi = np.clip(np.round(xf * 16), -127, 127).astype(np.int8)
+    kis = [np.clip(np.round(k * 512), -127, 127).astype(np.int8) for k in kfs]
+    scales = [np.float32(1.0 / (16 * 512))] * 4
+
+    t_bf16 = time_fn(lambda x, *k: chain_bf16(x, k),
+                     jnp.asarray(xf, jnp.bfloat16),
+                     *[jnp.asarray(k, jnp.bfloat16) for k in kfs])
+    t_int8 = time_fn(lambda x, *k: chain_int8(x, k, scales),
+                     jnp.asarray(xi), *[jnp.asarray(k) for k in kis])
+    res["chain4_s0"] = {"bf16_ms": round(t_bf16 * 1e3, 3),
+                       "int8_ms": round(t_int8 * 1e3, 3)}
+    print("chain4_s0", res["chain4_s0"])
+
+
+def main():
+    rng = np.random.RandomState(0)
+    shapes = [
+        ("s0b0_conv1", (B, 128, 151, 16), (3, 3, 16, 32)),
+        ("s0b1_conv1", (B, 64, 76, 32), (3, 3, 32, 32)),
+        ("s1b1_conv1", (B, 32, 38, 64), (3, 3, 64, 64)),
+    ]
+    res = {"B": B, "K": K_CHAIN, "device": str(jax.devices()[0])}
+    for name, xs, ks in shapes:
+        xf = rng.randn(*xs).astype(np.float32)
+        kf = (rng.randn(*ks) * 0.05).astype(np.float32)
+        xi = np.clip(np.round(xf * 16), -127, 127).astype(np.int8)
+        ki = np.clip(np.round(kf * 512), -127, 127).astype(np.int8)
+
+        t_f32 = time_fn(lambda x, k: conv(x, k, jnp.float32),
+                        jnp.asarray(xf), jnp.asarray(kf))
+        t_bf16 = time_fn(lambda x, k: conv(x, k, jnp.bfloat16),
+                         jnp.asarray(xf, jnp.bfloat16),
+                         jnp.asarray(kf, jnp.bfloat16))
+        try:
+            t_int8 = time_fn(lambda x, k: conv(x, k, jnp.int32),
+                             jnp.asarray(xi), jnp.asarray(ki))
+        except Exception as e:  # noqa: BLE001
+            t_int8 = None
+            print(f"{name}: int8 conv FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        res[name] = {"f32_ms": round(t_f32 * 1e3, 3),
+                     "bf16_ms": round(t_bf16 * 1e3, 3),
+                     "int8_ms": None if t_int8 is None
+                     else round(t_int8 * 1e3, 3)}
+        print(name, res[name])
+    bench_chain(rng, res)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,4 @@
+from mmla_audio_tpu.parallel import distributed
 from mmla_audio_tpu.parallel.mesh import (
     DataParallel,
     batch_sharding,
@@ -10,6 +11,7 @@ from mmla_audio_tpu.parallel.mesh import (
 __all__ = [
     "DataParallel",
     "batch_sharding",
+    "distributed",
     "make_mesh",
     "replicate_tree",
     "replicated",

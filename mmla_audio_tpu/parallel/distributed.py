@@ -1,0 +1,105 @@
+"""Multi-host (multi-process) scaling over DCN + ICI.
+
+The reference has no distributed execution at all (SURVEY §2.5); its single
+loop is one process on one machine.  The TPU deployment story for this
+workload is:
+
+- **Within a slice (ICI):** conversation windows are independent, so batches
+  shard over every chip's ``data`` axis (``mesh.py``); XLA's collectives
+  (gradient all-reduce in training, nothing at all in inference) ride ICI.
+- **Across hosts (DCN):** each host process captures / ingests ITS OWN
+  conversation streams and contributes a host-local window batch; the global
+  array is assembled with ``jax.make_array_from_process_local_data`` so no
+  raw audio ever crosses DCN.  With pure data parallelism, the only DCN
+  traffic is the parameter/gradient all-reduce during training and nothing
+  during serving — the layout the scaling playbook prescribes for
+  independent-sample workloads.
+
+These helpers keep the single-process path (tests, one-chip benches)
+identical: ``initialize()`` is a no-op unless process coordination is
+configured, and ``host_local_batch_to_global`` degrades to ``shard_batch``.
+
+Typical multi-host entry::
+
+    from mmla_audio_tpu.parallel import distributed as dist
+    dist.initialize()                      # env-driven (TPU pods: automatic)
+    mesh = dist.global_mesh()              # all chips across all processes
+    xg = dist.host_local_batch_to_global(local_windows, mesh)
+    labels, probs = DataParallel(pred.lower_fn(), mesh)(variables, xg, ng)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mmla_audio_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+__all__ = ["initialize", "global_mesh", "host_local_batch_to_global",
+           "process_info"]
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join (or skip joining) the multi-process runtime.
+
+    On TPU pods every argument is discovered from the environment and this is
+    ``jax.distributed.initialize()``.  Single-process runs (no coordinator
+    configured, no pod metadata) skip initialization entirely, so the same
+    program works 1-host and N-host.  Safe to call more than once.
+    """
+    global _initialized
+    if _initialized:
+        return
+    if coordinator_address is None and num_processes is None:
+        import os
+        # A pod is indicated by an explicit coordinator or a MULTI-worker
+        # hostname list; a lone TPU_WORKER_HOSTNAMES entry is a single host
+        # (the axon dev environment sets it to "localhost").
+        multi_worker = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        pod_env = multi_worker or any(k in os.environ for k in (
+            "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS"))
+        if not pod_env:
+            return                       # single-process: nothing to join
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    _initialized = True
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) of this host."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_mesh(n_model: int = 1) -> Mesh:
+    """Mesh over every addressable chip across every process.
+
+    ``jax.devices()`` is globally ordered with each process's chips
+    contiguous, so the ``data`` axis groups each host's chips together and
+    a host-local batch lands on that host's own chips (no cross-DCN input
+    scatter)."""
+    return make_mesh(n_model=n_model, devices=jax.devices())
+
+
+def host_local_batch_to_global(x, mesh: Mesh):
+    """Assemble per-host window batches into one globally-sharded array.
+
+    Each process passes its own ``(B_local, ...)`` batch; the result behaves
+    as a ``(num_processes * B_local, ...)`` array sharded over the ``data``
+    axis, without any cross-host transfer of the data itself.  In a
+    single-process run this is exactly ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(x, mesh)
+    import numpy as np
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.asarray(x))

@@ -92,3 +92,27 @@ def test_entry_compiles():
     labels, probs = out
     assert labels.shape == (8,)
     assert probs.shape == (8, 2)
+
+
+def test_distributed_single_process_paths():
+    """Multi-host helpers degrade exactly to the single-process primitives."""
+    from mmla_audio_tpu.parallel import distributed as dist
+
+    # no coordinator configured -> initialize is a no-op (and idempotent)
+    dist.initialize()
+    dist.initialize()
+    assert dist.process_info() == (0, 1)
+
+    mesh = dist.global_mesh()
+    assert mesh.devices.shape == (8, 1)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 5).astype(np.float32)
+    xg = dist.host_local_batch_to_global(x, mesh)
+    np.testing.assert_array_equal(np.asarray(xg), x)
+    assert xg.sharding == batch_sharding(mesh)
+
+    # sharded compute over the assembled batch matches single-device
+    out = jax.jit(lambda a: (a * 2).sum(axis=1))(xg)
+    np.testing.assert_allclose(np.asarray(out), (x * 2).sum(axis=1),
+                               rtol=1e-6)

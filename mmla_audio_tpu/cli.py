@@ -26,7 +26,14 @@ from pathlib import Path
 import numpy as np
 
 
-def _predictor_overlap(ckpt, cfg):
+def _matmul_precision(args):
+    """--precision highest -> full-f32 GEMM accumulation (bit-stable labels
+    across TPU/CPU backends, measured in benchmarks/tpu_cpu_parity.py)."""
+    prec = getattr(args, "precision", "default")
+    return None if prec == "default" else prec
+
+
+def _predictor_overlap(ckpt, cfg, matmul_precision=None):
     import jax
 
     from mmla_audio_tpu.inference import OverlapPredictor
@@ -38,10 +45,12 @@ def _predictor_overlap(ckpt, cfg):
     variables = load_variables(ckpt, template) if ckpt else template
     if not ckpt:
         print("[WARN] no --ckpt given: using random-init weights")
-    return OverlapPredictor(variables, cfg.overlap_model, cfg.overlap_feature)
+    return OverlapPredictor(variables, cfg.overlap_model, cfg.overlap_feature,
+                            matmul_precision=matmul_precision)
 
 
-def _predictor_speaker(ckpt, cfg, head_units=None, sigmoid=False):
+def _predictor_speaker(ckpt, cfg, head_units=None, sigmoid=False,
+                       matmul_precision=None):
     import jax
 
     from mmla_audio_tpu.inference import SpeakerPredictor
@@ -55,7 +64,8 @@ def _predictor_speaker(ckpt, cfg, head_units=None, sigmoid=False):
     if not ckpt:
         print("[WARN] no --ckpt given: using random-init weights")
     return SpeakerPredictor(variables, cfg.speaker_model, cfg.speaker_feature,
-                            head_units=head_units, sigmoid_head=sigmoid)
+                            head_units=head_units, sigmoid_head=sigmoid,
+                            matmul_precision=matmul_precision)
 
 
 def _capture(args, cfg):
@@ -98,7 +108,8 @@ def cmd_overlap_live(args):
     from mmla_audio_tpu.streaming.session import OverlapSession
 
     cfg = _live_cfg(args)
-    pred = _predictor_overlap(args.ckpt, cfg)
+    pred = _predictor_overlap(
+        args.ckpt, cfg, matmul_precision=_matmul_precision(args))
     cap = _capture(args, cfg)
     if args.edge:
         # Pi-variant: x4 denoise + SSIM silence gate (record_on_pi.py)
@@ -125,7 +136,8 @@ def cmd_speaker_live(args):
     from mmla_audio_tpu.streaming.session import SpeakerSession
 
     cfg = _live_cfg(args)
-    pred = _predictor_speaker(args.ckpt, cfg)
+    pred = _predictor_speaker(
+        args.ckpt, cfg, matmul_precision=_matmul_precision(args))
     cap = _capture(args, cfg)
     if getattr(args, "edge", False):
         # Pi-variant: gate-driven capture, AOT identify loop, timestamp-free
@@ -175,7 +187,8 @@ def cmd_overlap_post(args):
     cfg = PipelineConfig()
     dirs = bootstrap(args.root)
     noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
-    pred = _predictor_overlap(args.ckpt, cfg)
+    pred = _predictor_overlap(
+        args.ckpt, cfg, matmul_precision=_matmul_precision(args))
     logs = overlap_post_analyze(dirs, pred, cfg=cfg, noise=noise)
     for name, log in logs.items():
         print(f"[INFO] {name}: {log}")
@@ -192,7 +205,8 @@ def cmd_speaker_post(args):
     noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
     n_speakers = len(list(dirs.corpus.glob("*.wav"))) or None
     pred = _predictor_speaker(args.ckpt, cfg, head_units=n_speakers,
-                              sigmoid=n_speakers is not None)
+                              sigmoid=n_speakers is not None,
+                              matmul_precision=_matmul_precision(args))
     logs = speaker_post_analyze(dirs, pred, cfg=cfg, noise=noise)
     for name, log in logs.items():
         print(f"[INFO] {name}: {log}")
@@ -211,7 +225,8 @@ def cmd_overlap_run(args):
     cfg = PipelineConfig()
     timer = StageTimer()
     with timer.stage("model_load"):
-        pred = _predictor_overlap(args.ckpt, cfg)
+        pred = _predictor_overlap(
+            args.ckpt, cfg, matmul_precision=_matmul_precision(args))
 
     paths = [Path(args.file)] if args.file else \
         sorted(Path(args.dir).glob("*.wav"))
@@ -362,6 +377,12 @@ def main(argv=None):
     def common(p, live=False):
         p.add_argument("--root", default="experiment")
         p.add_argument("--ckpt", default=None)
+        p.add_argument("--precision", choices=["default", "highest"],
+                       default="default",
+                       help="'highest' forces full-f32 GEMM accumulation: "
+                            "labels bit-stable across TPU/CPU (~2x overlap "
+                            "step cost, ~6%% speaker; see "
+                            "benchmarks/tpu_cpu_parity.py)")
         if live:
             p.add_argument("--fake", action="store_true",
                            help="deterministic PCM source instead of microphone")

@@ -70,20 +70,31 @@ class OverlapPredictor:
     def __init__(self, variables: Dict[str, Any],
                  model_cfg: OverlapModelConfig = OverlapModelConfig(),
                  feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig(),
-                 compute_dtype=None, use_pallas: bool = False):
+                 compute_dtype=None, use_pallas: bool = False,
+                 matmul_precision: str | None = None):
         """``compute_dtype=jnp.bfloat16`` runs the model forward in bf16
         (params cast at trace time; DSP stays f32 for feature parity) —
         ~1.4x faster on TPU.  ``use_pallas`` swaps the featurizer for the
-        fused VMEM kernel."""
+        fused VMEM kernel.  ``matmul_precision="highest"`` forces full-f32
+        GEMM/conv accumulation in the model trunk (TPU's default is one bf16
+        MXU pass) for bit-stable TPU<->CPU labels; see
+        benchmarks/tpu_cpu_parity.py for the measured agreement/cost."""
         self.model = OverlapResBLSTM(model_cfg)
         self.variables = variables
         self.feat_cfg = feat_cfg
         self.silent_threshold = 4000
         self.compute_dtype = compute_dtype
         self.use_pallas = use_pallas
+        self.matmul_precision = matmul_precision
         self._jit = jax.jit(self._forward)
 
     def _forward(self, variables, buf, n):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._forward_body(variables, buf, n)
+        return self._forward_body(variables, buf, n)
+
+    def _forward_body(self, variables, buf, n):
         cfg = self.feat_cfg
         # librosa.load scale: int16 -> [-1, 1)
         y = _masked_prefix(buf.astype(jnp.float32), n, cfg.n_samples) / 32768.0
@@ -132,17 +143,25 @@ class SpeakerPredictor:
                  feat_cfg: SpeakerFeatureConfig = SpeakerFeatureConfig(),
                  head_units: int | None = None,
                  sigmoid_head: bool = False,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 matmul_precision: str | None = None):
         self.model = SpeakerResBLSTM(model_cfg, head_units=head_units)
         self.variables = variables
         self.feat_cfg = feat_cfg
         self.sigmoid_head = sigmoid_head
         self.compute_dtype = compute_dtype
+        self.matmul_precision = matmul_precision
         self._jit = jax.jit(self._forward)
         self._logits_jit = jax.jit(
             lambda v, feats: self.model.apply(v, feats))
 
     def _forward(self, variables, buf, n):
+        if self.matmul_precision is not None:
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._forward_body(variables, buf, n)
+        return self._forward_body(variables, buf, n)
+
+    def _forward_body(self, variables, buf, n):
         cfg = self.feat_cfg
         feats, _ = speaker_feature_batch(buf.astype(jnp.float32), n, cfg)
         if self.compute_dtype is not None:

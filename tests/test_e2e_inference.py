@@ -68,6 +68,29 @@ def test_int16_input_matches_float32():
         np.testing.assert_array_equal(np.asarray(pf), np.asarray(pi))
 
 
+def test_matmul_precision_knob():
+    """``matmul_precision="highest"`` forces full-f32 GEMM accumulation for
+    strict TPU<->CPU label parity (benchmarks/tpu_cpu_parity.py measures
+    agreement/cost on hardware).  On CPU the knob is a no-op numerically —
+    results must match the default path exactly."""
+    ov_vars = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    sp_vars = SpeakerResBLSTM().init_variables(jax.random.PRNGKey(1))
+    buf = np.zeros((2, 40960), np.float32)
+    buf[0] = synth_speech_i16(40960, seed=11)
+    buf[1] = synth_speech_i16(40960, seed=12)
+    n = np.array([40960, 40960])
+    for default, strict in (
+        (OverlapPredictor(ov_vars),
+         OverlapPredictor(ov_vars, matmul_precision="highest")),
+        (SpeakerPredictor(sp_vars),
+         SpeakerPredictor(sp_vars, matmul_precision="highest")),
+    ):
+        ld, pd = default.predict(buf, n)
+        ls, ps = strict.predict(buf, n)
+        np.testing.assert_array_equal(np.asarray(ld), np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(pd), np.asarray(ps))
+
+
 def test_overlap_single_window_api():
     model = OverlapResBLSTM()
     variables = model.init_variables(jax.random.PRNGKey(0))

@@ -146,8 +146,9 @@ def bench_registration():
     return t_steady, t_first
 
 
-def bench_live_64(window_sec, reps: int = 2):
-    """Host-inclusive 64-stream serving loop (the Multiplexer path).
+def bench_live(window_sec, n_streams: int = 64, reps: int = 2):
+    """Host-inclusive ``n_streams``-stream serving loop (the Multiplexer
+    path).
 
     Host scheduling jitter dominates run-to-run variance here, so the loop
     is run ``reps`` times (the compiled program is cached after the first)
@@ -164,7 +165,11 @@ def bench_live_64(window_sec, reps: int = 2):
         FakePCMSource
     from mmla_audio_tpu.streaming.multiplex import Multiplexer
 
-    n_streams, windows = 64, 4
+    windows = 4
+    # High stream counts stagger ring fills across the capture threads;
+    # min_fill=0.75 accumulates ready windows instead of padding
+    # mostly-empty buckets (measured 4x per-window waste at 256 eager).
+    min_fill = 0.75 if n_streams > 64 else 0.0
     cfg = PipelineConfig()
     pred = OverlapPredictor(
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
@@ -174,7 +179,7 @@ def bench_live_64(window_sec, reps: int = 2):
     for rep in range(reps):
         with tempfile.TemporaryDirectory() as root:
             mux = Multiplexer(pred, root, kind="overlap", bucket=n_streams,
-                              cfg=cfg)
+                              min_fill=min_fill, cfg=cfg)
             caps = []
             total = (windows + 2) * cfg.audio.window_samples
             for s in range(n_streams):
@@ -195,7 +200,7 @@ def bench_live_64(window_sec, reps: int = 2):
                 c.stop()
         rtf = n_decided * window_sec / dt
         per_win = dt / max(n_decided, 1)
-        _log(f"live 64-stream rep {rep}: {n_decided} windows, "
+        _log(f"live {n_streams}-stream rep {rep}: {n_decided} windows, "
              f"{per_win * 1e3:.2f} ms/window, {rtf:.0f}x RT")
         if best is None or rtf > best[0]:
             best = (rtf, per_win)
@@ -232,7 +237,8 @@ def main():
     for name, fn in (
         ("speaker", lambda: bench_speaker(window_sec, n_samples)),
         ("registration", bench_registration),
-        ("live64", lambda: bench_live_64(window_sec)),
+        ("live64", lambda: bench_live(window_sec, n_streams=64)),
+        ("live256", lambda: bench_live(window_sec, n_streams=256, reps=1)),
     ):
         try:
             if name == "speaker":
@@ -243,10 +249,14 @@ def main():
                 t_steady, t_first = fn()
                 out["registration_finetune_s"] = round(t_steady, 2)
                 out["registration_first_compile_s"] = round(t_first, 1)
-            else:
+            elif name == "live64":
                 rtf64, per_win = fn()
                 out["live_rtf_64_streams"] = round(rtf64, 1)
                 out["live_64_per_window_ms"] = round(per_win * 1000.0, 2)
+            else:
+                rtf256, per_win = fn()
+                out["live_rtf_256_streams"] = round(rtf256, 1)
+                out["live_256_per_window_ms"] = round(per_win * 1000.0, 2)
         except Exception as e:           # noqa: BLE001 — axis must not kill headline
             _log(f"WARNING: {name} axis failed: {type(e).__name__}: {e}")
 

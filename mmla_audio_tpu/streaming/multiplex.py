@@ -78,6 +78,7 @@ class Multiplexer:
     def __init__(self, predictor, dirs: ExperimentDirs | str, *,
                  kind: str = "overlap", bucket: int | None = None,
                  buckets: Sequence[int] = (8, 64),
+                 min_fill: float = 0.0,
                  cfg: PipelineConfig = PipelineConfig(), mesh=None):
         self.predictor = predictor
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
@@ -87,6 +88,16 @@ class Multiplexer:
         self.buckets = tuple(sorted(int(b) for b in buckets))
         assert self.buckets and all(b > 0 for b in self.buckets)
         self.bucket = self.buckets[-1]          # max gather per tick
+        # Minimum batch-fill fraction before dispatching.  At high stream
+        # counts, ring fills stagger (threaded capture), so an eager dispatch
+        # pads mostly-empty buckets — measured 4x per-window cost at 256
+        # streams.  With min_fill, ready windows accumulate across ticks and
+        # dispatch fires when the top bucket is min_fill full OR when a tick
+        # gathers nothing new (arrival stall / end of streams), so latency
+        # under light traffic is still ~one tick.
+        self.min_fill = float(min_fill)
+        assert 0.0 <= self.min_fill <= 1.0
+        self._pending: List[tuple] = []
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
@@ -184,13 +195,16 @@ class Multiplexer:
             stream.done = True
         return out
 
-    def _gather(self) -> List[tuple]:
+    def _gather(self, limit: Optional[int] = None) -> List[tuple]:
         """Poll every stream once, non-blocking, starting at the rotating
-        offset; stop at the largest bucket."""
+        offset; stop at ``limit`` (default: the largest bucket)."""
         n_win = self.cfg.audio.window_samples
         n = len(self.streams)
+        limit = self.bucket if limit is None else limit
         ready: List[tuple] = []
         for k in range(n):
+            if len(ready) >= limit:
+                break
             stream = self.streams[(self._rr + k) % n]
             if stream.done:
                 continue
@@ -201,8 +215,6 @@ class Multiplexer:
                     stream.done = True
                 continue
             ready.append((stream, window))
-            if len(ready) >= self.bucket:
-                break
         if n:
             self._rr = (self._rr + 1) % n
         return ready
@@ -240,18 +252,35 @@ class Multiplexer:
         them, then resolve the PREVIOUS tick's batch — device compute for
         this tick overlaps the next gather.  Returns windows logged now.
 
+        With ``min_fill`` set, gathered windows accumulate in ``_pending``
+        and dispatch waits until the top bucket is ``min_fill`` full or a
+        tick arrives with nothing new (stall drain), bounding padding waste
+        at high stream counts without deadlocking at end of streams.
+
         ``timeout`` is accepted for backward compatibility and ignored (the
         gather never blocks)."""
-        ready = self._gather()
+        new = self._gather(limit=self.bucket - len(self._pending))
+        self._pending.extend(new)
         prev, self._inflight = self._inflight, None
-        if ready:
-            self._inflight = (ready, self._dispatch(ready))
+        if self._pending and (
+                len(self._pending) >= self.min_fill * self.bucket or not new):
+            batch, self._pending = self._pending[: self.bucket], \
+                self._pending[self.bucket:]
+            self._inflight = (batch, self._dispatch(batch))
         return self._resolve(prev) if prev is not None else 0
 
     def flush(self) -> int:
-        """Resolve any in-flight batch (call when the serving loop stops)."""
+        """Resolve any in-flight batch and drain pending windows (call when
+        the serving loop stops)."""
+        total = 0
         prev, self._inflight = self._inflight, None
-        return self._resolve(prev) if prev is not None else 0
+        if prev is not None:
+            total += self._resolve(prev)
+        while self._pending:
+            batch, self._pending = self._pending[: self.bucket], \
+                self._pending[self.bucket:]
+            total += self._resolve((batch, self._dispatch(batch)))
+        return total
 
     def run_until_exhausted(self, max_ticks: int = 100_000) -> int:
         """Drive replay/fake streams to completion; returns total decisions."""

@@ -199,3 +199,53 @@ def test_round_robin_fairness(tmp_path):
         [(s.name, len(s.results)) for s in mux.streams]
     for s in mux.streams:
         s.capture.stop()
+
+
+def test_min_fill_accumulates_then_stall_drains(tmp_path):
+    """With min_fill, a partial gather is held, not padded out; a tick with
+    no new arrivals drains it (so light traffic still decides in ~one
+    tick)."""
+    import time
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap",
+                      buckets=(4,), min_fill=0.75, cfg=cfg)
+    dispatched = []
+    orig = mux._dispatch
+
+    def spy(ready):
+        dispatched.append(len(ready))
+        return orig(ready)
+
+    mux._dispatch = spy
+    n_win = cfg.audio.window_samples
+    rng = np.random.RandomState(0)
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    for s in range(2):
+        cap = CaptureThread(ArraySource(
+            (rng.randn(n_win) * 3000).astype(np.int16))).start()
+        mux.add_stream(f"s{s}", cap, noise)
+    time.sleep(0.3)                    # both rings full
+    mux.tick()
+    # 2 ready < 0.75*4=3: held, not dispatched
+    assert dispatched == [] and len(mux._pending) == 2
+    mux.tick()                         # nothing new -> stall drain
+    assert dispatched == [2]
+    assert mux.flush() == 2
+    for s in mux.streams:
+        s.capture.stop()
+
+
+def test_min_fill_run_until_exhausted_decides_everything(tmp_path):
+    """min_fill must never strand windows at end of streams."""
+    mux, caps = _make_mux(tmp_path, n_streams=3, windows_each=2)
+    mux.min_fill = 1.0                 # strictest setting
+    total = mux.run_until_exhausted()
+    for c in caps:
+        c.stop()
+    assert total == 6
+    assert all(len(s.results) == 2 for s in mux.streams)

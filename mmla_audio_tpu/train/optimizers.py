@@ -14,8 +14,17 @@ __all__ = ["adadelta", "rmsprop"]
 
 
 def adadelta(learning_rate=1e-3, rho: float = 0.95, eps: float = 1e-7):
+    """Keras Adadelta: acc = ρ·acc + (1-ρ)·g²; Δ = g·√(acc_Δ+ε)/√(acc+ε);
+    acc_Δ = ρ·acc_Δ + (1-ρ)·Δ².  optax places ε inside both square roots,
+    exactly like TF/Keras (step-parity tested in tests/test_train.py)."""
     return optax.adadelta(learning_rate=learning_rate, rho=rho, eps=eps)
 
 
 def rmsprop(learning_rate=1e-4, decay: float = 0.9, eps: float = 1e-7):
-    return optax.rmsprop(learning_rate=learning_rate, decay=decay, eps=eps)
+    """Keras RMSprop (uncentered, no momentum): rms = ρ·rms + (1-ρ)·g²;
+    param -= lr·g / (√rms + ε).  Keras adds ε OUTSIDE the square root;
+    optax's default is inside (``eps_in_sqrt=True``), which diverges most
+    when rms is small (early steps, flat gradients) — pass
+    ``eps_in_sqrt=False`` for exact Keras semantics (step-parity tested)."""
+    return optax.rmsprop(learning_rate=learning_rate, decay=decay, eps=eps,
+                         eps_in_sqrt=False)

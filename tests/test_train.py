@@ -199,3 +199,58 @@ def test_lr_schedule_requires_injectable_optimizer():
     with pytest.raises(ValueError, match="inject_hyperparams"):
         trainer.fit(state, x, y, epochs=1, batch_size=4,
                     lr_schedule_epoch=lambda e: 1e-3)
+
+
+def test_rmsprop_matches_keras_update_rule():
+    """Step-by-step parity with a NumPy transcription of Keras RMSprop
+    (uncentered, no momentum): rms = rho*rms + (1-rho)*g^2;
+    p -= lr * g / (sqrt(rms) + eps) — eps OUTSIDE the sqrt (optax's default
+    eps_in_sqrt=True diverges when rms is small)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    lr, rho, eps = 1e-2, 0.9, 1e-7
+    tx = rmsprop(lr, decay=rho, eps=eps)
+    p = jnp.asarray(np.float32([0.5, -1.0, 2.0]))
+    opt_state = tx.init(p)
+    p_ref = np.asarray(p, np.float64).copy()
+    rms = np.zeros_like(p_ref)
+    rng = np.random.RandomState(0)
+    for step in range(8):
+        g = rng.randn(3).astype(np.float32) * (1e-4 if step < 3 else 1.0)
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, p)
+        p = optax.apply_updates(p, updates)
+        g64 = g.astype(np.float64)
+        rms = rho * rms + (1 - rho) * g64 * g64
+        p_ref -= lr * g64 / (np.sqrt(rms) + eps)
+        np.testing.assert_allclose(np.asarray(p), p_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_adadelta_matches_keras_update_rule():
+    """Step-by-step parity with a NumPy transcription of Keras Adadelta:
+    acc = rho*acc + (1-rho)*g^2; delta = g*sqrt(acc_d+eps)/sqrt(acc+eps);
+    acc_d = rho*acc_d + (1-rho)*delta^2; p -= lr*delta (eps inside BOTH
+    square roots, as in TF/Keras)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    lr, rho, eps = 1e-1, 0.95, 1e-7
+    tx = adadelta(lr, rho=rho, eps=eps)
+    p = jnp.asarray(np.float32([1.0, -0.5, 0.25]))
+    opt_state = tx.init(p)
+    p_ref = np.asarray(p, np.float64).copy()
+    acc = np.zeros_like(p_ref)
+    acc_d = np.zeros_like(p_ref)
+    rng = np.random.RandomState(1)
+    for _ in range(8):
+        g = rng.randn(3).astype(np.float32)
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, p)
+        p = optax.apply_updates(p, updates)
+        g64 = g.astype(np.float64)
+        acc = rho * acc + (1 - rho) * g64 * g64
+        delta = g64 * np.sqrt(acc_d + eps) / np.sqrt(acc + eps)
+        acc_d = rho * acc_d + (1 - rho) * delta * delta
+        p_ref -= lr * delta
+        np.testing.assert_allclose(np.asarray(p), p_ref, rtol=2e-5, atol=2e-6)

@@ -54,13 +54,15 @@ class Stream:
 
     def __init__(self, name: str, capture, log: SessionLog,
                  noise_thresh, vad_threshold_db: float,
-                 label_names: Optional[Dict[str, str]] = None):
+                 label_names: Optional[Dict[str, str]] = None,
+                 gmm_state=None):
         self.name = name
         self.capture = capture
         self.log = log
         self.noise_thresh = noise_thresh
         self.vad_threshold_db = vad_threshold_db
         self.label_names = label_names
+        self.gmm_state = gmm_state          # per-stream GMM VAD model state
         self.results: List[tuple] = []
         self.done = False
 
@@ -117,20 +119,38 @@ class Multiplexer:
         n_win = cfg.audio.window_samples
         T = frame_count(n_win, frame_len)
         use_speaker = self.kind == "speaker"
+        use_gmm = cfg.vad.decision == "gmm"
 
-        def one(raw, noise_thresh, vad_thr):
+        def one(raw, noise_thresh, vad_thr, gmm_state):
             y = raw / 32768.0
             y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
                              passes=cfg.denoise.passes_live)
             i16 = _quantize_i16(y)
-            frames = i16[: T * frame_len].reshape(T, frame_len)
-            decisions = energy_vad(frames, vad_thr)
+            if use_gmm:
+                # per-stream adaptive GMM state batches as an operand (the
+                # single-stream session captures it as a trace constant)
+                from mmla_audio_tpu.vad.gmm import gmm_vad
+
+                decisions, _ = gmm_vad(i16, gmm_state,
+                                       aggressiveness=cfg.vad.aggressiveness,
+                                       frame_len=frame_len)
+                decisions = decisions[:T]
+            else:
+                frames = i16[: T * frame_len].reshape(T, frame_len)
+                decisions = energy_vad(frames, vad_thr)
             trimmed, n_out = vad_trim(i16, jnp.asarray(n_win), decisions,
                                       frame_len, cfg.vad.ring_frames)
             return trimmed, n_out
 
-        def batch_fn(variables, raws, noise_threshs, vad_thrs):
-            trimmed, n_out = jax.vmap(one)(raws, noise_threshs, vad_thrs)
+        def batch_fn(variables, raws, noise_threshs, vad_thrs,
+                     gmm_states=None):
+            if use_gmm:
+                trimmed, n_out = jax.vmap(one)(raws, noise_threshs, vad_thrs,
+                                               gmm_states)
+            else:
+                trimmed, n_out = jax.vmap(
+                    lambda r, nt, vt: one(r, nt, vt, None))(
+                        raws, noise_threshs, vad_thrs)
             if use_speaker:
                 feats, _ = speaker_feature_batch(trimmed, n_out,
                                                  cfg.speaker_feature)
@@ -163,13 +183,18 @@ class Multiplexer:
         log = SessionLog(self.dirs.logs / f"{session_stamp(now)}-{name}.txt",
                          kind=self.kind, start_index=1)
         nf = noise_clip_i16.astype(np.float32) / 32768.0
+        gmm_state = None
+        if self.cfg.vad.decision == "gmm":
+            from mmla_audio_tpu.vad.gmm import gmm_init_from_noise
+
+            gmm_state = gmm_init_from_noise(noise_clip_i16)
         stream = Stream(
             name, capture, log,
             noise_thresh=np.asarray(noise_threshold(jnp.asarray(nf),
                                                     self.cfg.denoise)),
             vad_threshold_db=calibrate_threshold(
                 noise_clip_i16, self.cfg.vad.aggressiveness),
-            label_names=label_names)
+            label_names=label_names, gmm_state=gmm_state)
         self.streams.append(stream)
         return stream
 
@@ -233,6 +258,16 @@ class Multiplexer:
             raws[i] = window
             nts[i] = stream.noise_thresh
             vts[i] = stream.vad_threshold_db
+        if self.cfg.vad.decision == "gmm":
+            # batch per-stream GMM states; padded rows reuse the first
+            # stream's state (their labels are discarded by _resolve)
+            states = [s.gmm_state for (s, _) in ready]
+            states += [states[0]] * (bucket - len(ready))
+            gmm_states = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *states)
+            return self._program(self.predictor.variables, jnp.asarray(raws),
+                                 jnp.asarray(nts), jnp.asarray(vts),
+                                 gmm_states)
         return self._program(self.predictor.variables, jnp.asarray(raws),
                              jnp.asarray(nts), jnp.asarray(vts))
 

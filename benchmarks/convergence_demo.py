@@ -84,9 +84,11 @@ def main():
     feats = []
     featurize = jax.jit(overlap_model_input)
     for i in range(0, len(buf), 256):
-        feats.append(np.asarray(featurize(
-            jnp.asarray(buf[i:i + 256] / 32768.0))))
-    feats = np.concatenate(feats)
+        feats.append(featurize(jnp.asarray(buf[i:i + 256] / 32768.0)))
+    # stays device-resident: Trainer.fit pads/masks jax.Arrays on device,
+    # so the ~1 GB feature tensor never round-trips through the host
+    feats = jnp.concatenate(feats)
+    _ = np.asarray(feats[-1, -1, -1])   # tunnel sync (block_until_ready is async)
     t_feat = time.perf_counter() - t0
     print(f"[demo] features {feats.shape} in {t_feat:.1f} s",
           file=sys.stderr, flush=True)

@@ -139,12 +139,17 @@ class OverlapTrainer:
         rng = jax.random.PRNGKey(seed + 1)
         n_epochs = epochs or self.cfg.epochs
         bsz = batch_size or self.cfg.batch_size
+        # upload train/test once; per-epoch fit/evaluate then see device
+        # arrays and skip the host->device transfer (matters through slow
+        # links: the val re-upload alone was ~25 s/epoch on the dev tunnel)
+        x_train, y_train = jnp.asarray(x_train), jnp.asarray(y_train)
+        x_test_d, y_test_d = jnp.asarray(x_test), jnp.asarray(y_test)
         for epoch in range(n_epochs):
             state, h = trainer.fit(state, x_train, y_train, epochs=1,
                                    batch_size=bsz,
                                    lr_schedule_epoch=lambda _: lr_epoch(epoch),
                                    rng=jax.random.fold_in(rng, epoch))[0:2]
-            vl, va = trainer.evaluate(state, x_test, y_test)
+            vl, va = trainer.evaluate(state, x_test_d, y_test_d)
             history["loss"].append(h["loss"][0])
             history["acc"].append(h["acc"][0])
             history["val_loss"].append(vl)

@@ -176,9 +176,25 @@ class Trainer:
         must divide by the mesh's data-axis size.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        xp, yp, maskp = pad_to_batches(np.asarray(x_train), np.asarray(y_train),
-                                       batch_size)
-        xp, yp, maskp = jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(maskp)
+        n_train = int(np.shape(x_train)[0])
+        if isinstance(x_train, jax.Array) and isinstance(y_train, jax.Array):
+            # device-resident corpus (e.g. featurized on device): pad and
+            # mask on device — np.asarray on a jax.Array would fetch it back
+            pad = (-n_train) % batch_size
+            xp, yp = x_train, y_train
+            if pad:
+                xp = jnp.concatenate(
+                    [xp, jnp.zeros((pad,) + xp.shape[1:], xp.dtype)])
+                yp = jnp.concatenate(
+                    [yp, jnp.zeros((pad,) + yp.shape[1:], yp.dtype)])
+            maskp = (jnp.arange(n_train + pad) < n_train).astype(jnp.float32)
+        else:
+            xp, yp, maskp = pad_to_batches(np.asarray(x_train),
+                                           np.asarray(y_train), batch_size)
+            xp, yp, maskp = jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(maskp)
+        if x_val is not None:
+            # upload the validation split once, not once per epoch
+            x_val, y_val = jnp.asarray(x_val), jnp.asarray(y_val)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -254,3 +254,30 @@ def test_adadelta_matches_keras_update_rule():
         acc_d = rho * acc_d + (1 - rho) * delta * delta
         p_ref -= lr * delta
         np.testing.assert_allclose(np.asarray(p), p_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fit_device_resident_inputs_match_host_inputs():
+    """Passing jax.Arrays (device-resident corpus) to ``fit`` must produce
+    the same training trajectory as NumPy inputs — including a partial last
+    batch, which the device path pads and masks on device instead of
+    round-tripping through the host."""
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=3)
+    model = SpeakerResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    x, y = _toy_speaker_data(n_per_class=7)   # 21 samples: pad to batch 16
+
+    def run(xin, yin):
+        trainer = Trainer(model, rmsprop(1e-3),
+                          lambda lg, y: keras_categorical_crossentropy(lg, y))
+        state = trainer.init_state(variables)
+        state, hist = trainer.fit(state, xin, yin, epochs=3, batch_size=16,
+                                  x_val=xin[:6], y_val=yin[:6],
+                                  rng=jax.random.PRNGKey(2))
+        return hist
+
+    h_np = run(x, y)
+    h_dev = run(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(h_dev["loss"], h_np["loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_dev["acc"], h_np["acc"], rtol=1e-6)
+    np.testing.assert_allclose(h_dev["val_loss"], h_np["val_loss"], rtol=1e-6)

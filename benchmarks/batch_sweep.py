@@ -15,38 +15,16 @@ sustained rate).  Run live:  python benchmarks/batch_sweep.py
 
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks.timing import chained_step_seconds
+
 WINDOW_SEC = 2.56
 K = 32
-
-
-def chained_step_seconds(fwd, variables, buf, n):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def chained(variables, buf, n):
-        def body(carry, _):
-            labels, probs = fwd(variables, carry, n)
-            return carry + labels.sum().astype(carry.dtype) * 1e-12, labels[0]
-        _, outs = jax.lax.scan(body, buf, jnp.arange(K))
-        return outs
-
-    out = chained(variables, buf, n)
-    _ = np.asarray(out[-1])                    # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = chained(variables, buf, n)
-        _ = np.asarray(out[-1])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / K
 
 
 def main():

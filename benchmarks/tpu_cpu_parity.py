@@ -65,27 +65,11 @@ def run_on(device, fwd, variables, buf, n):
 
 
 def chained_step_ms(fwd, variables, buf, n, K=32):
-    """Sustained per-step ms on the default device (K-chained scan, one
-    4-byte sync — per CLAUDE.md the tunnel's ~33 ms/call floor otherwise
-    dominates)."""
-    import time
+    """Sustained per-step ms on the default device (canonical K-chained
+    harness; see benchmarks/timing.py)."""
+    from benchmarks.timing import chained_step_seconds
 
-    @jax.jit
-    def chained(variables, buf, n):
-        def body(carry, _):
-            labels, probs = fwd(variables, carry, n)
-            return carry + labels.sum().astype(carry.dtype) * 1e-12, labels[0]
-        _, outs = jax.lax.scan(body, buf, jnp.arange(K))
-        return outs
-
-    bufj, nj = jnp.asarray(buf), jnp.asarray(n)
-    _ = np.asarray(chained(variables, bufj, nj)[-1])      # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(chained(variables, bufj, nj)[-1])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / K * 1e3
+    return chained_step_seconds(fwd, variables, buf, n, K=K) * 1e3
 
 
 def compare(name, model, pred_cls, buf, n, seed):

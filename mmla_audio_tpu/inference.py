@@ -48,6 +48,24 @@ def _masked_prefix(buf: jnp.ndarray, n: jnp.ndarray, length: int) -> jnp.ndarray
     return jnp.where(idx < n[..., None], pre, 0.0)
 
 
+def _policy_apply(model, variables, x, compute_dtype, matmul_precision):
+    """Model forward under a predictor's numerics policy: optional bf16
+    cast of params+input, optional forced GEMM precision, f32 logits out.
+    Every serving path must route model calls through the predictor's
+    ``apply_model`` (which calls this) — a direct ``model.apply`` silently
+    drops the policy (the bug class: sessions/multiplexer/post-time each
+    traced their own apply and ``--precision``/``compute_dtype`` no-opped)."""
+    if compute_dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, variables)
+        x = x.astype(compute_dtype)
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return model.apply(variables, x).astype(jnp.float32)
+    return model.apply(variables, x).astype(jnp.float32)
+
+
 def _as_device_pcm(buf) -> jnp.ndarray:
     """Accepted input dtypes: int16 PCM passes through untouched (half the
     host->HBM bytes; cast to f32 happens in-program), float32 passes through,
@@ -105,16 +123,19 @@ class OverlapPredictor:
             img = overlap_model_input_pallas(y, cfg)            # (B, 128, 151, 3)
         else:
             img = overlap_model_input(y, cfg)
-        if self.compute_dtype is not None:
-            variables = jax.tree_util.tree_map(
-                lambda x: x.astype(self.compute_dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
-            img = img.astype(self.compute_dtype)
-        logits = self.model.apply(variables, img).astype(jnp.float32)
+        logits = self.apply_model(variables, img)
         probs = jax.nn.softmax(logits, axis=-1)
         labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         labels = jnp.where(n < self.silent_threshold, SILENT, labels)
         return labels, probs
+
+    def apply_model(self, variables, x):
+        """Model forward under this predictor's numerics policy — use this
+        (not ``model.apply``) from any fused program built around the
+        predictor, or ``compute_dtype``/``matmul_precision`` silently stop
+        applying."""
+        return _policy_apply(self.model, variables, x,
+                             self.compute_dtype, self.matmul_precision)
 
     def predict(self, buf, n):
         buf = _as_device_pcm(buf)
@@ -153,7 +174,7 @@ class SpeakerPredictor:
         self.matmul_precision = matmul_precision
         self._jit = jax.jit(self._forward)
         self._logits_jit = jax.jit(
-            lambda v, feats: self.model.apply(v, feats))
+            lambda v, feats: self.apply_model(v, feats))
 
     def _forward(self, variables, buf, n):
         if self.matmul_precision is not None:
@@ -164,12 +185,7 @@ class SpeakerPredictor:
     def _forward_body(self, variables, buf, n):
         cfg = self.feat_cfg
         feats, _ = speaker_feature_batch(buf.astype(jnp.float32), n, cfg)
-        if self.compute_dtype is not None:
-            variables = jax.tree_util.tree_map(
-                lambda x: x.astype(self.compute_dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
-            feats = feats.astype(self.compute_dtype)
-        logits = self.model.apply(variables, feats).astype(jnp.float32)
+        logits = self.apply_model(variables, feats)
         # Transfer-learned heads use sigmoid activation
         # (speaker_identification.py:409); argmax is invariant but the
         # probabilities logged differ.
@@ -178,6 +194,13 @@ class SpeakerPredictor:
         labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         labels = jnp.where(n < cfg.silent_samples, SILENT, labels)
         return labels, probs
+
+    def apply_model(self, variables, x):
+        """Model forward under this predictor's numerics policy — use this
+        (not ``model.apply``) from any fused program built around the
+        predictor; see OverlapPredictor.apply_model."""
+        return _policy_apply(self.model, variables, x,
+                             self.compute_dtype, self.matmul_precision)
 
     def predict(self, buf, n):
         buf = _as_device_pcm(buf)

@@ -85,7 +85,7 @@ class EdgeOverlapSession(StreamingSession):
             img_raw = overlap_model_input(y[: fcfg.n_samples], fcfg)
             img_dn = overlap_model_input(y_dn[: fcfg.n_samples], fcfg)
             similarity = ssim(img_raw, img_dn)
-            logits = self.predictor.model.apply(variables, img_dn[None])
+            logits = self.predictor.apply_model(variables, img_dn[None])
             probs = jax.nn.softmax(logits, axis=-1)[0]
             label = jnp.argmax(probs).astype(jnp.int32)
             # SSIM < threshold: denoising erased the features => the window

@@ -154,14 +154,14 @@ class Multiplexer:
             if use_speaker:
                 feats, _ = speaker_feature_batch(trimmed, n_out,
                                                  cfg.speaker_feature)
-                logits = self.predictor.model.apply(variables, feats)
+                logits = self.predictor.apply_model(variables, feats)
                 silent = n_out < cfg.speaker_feature.silent_samples
             else:
                 masked = jnp.where(
                     jnp.arange(trimmed.shape[-1]) < n_out[:, None],
                     trimmed, 0.0)[:, : cfg.overlap_feature.n_samples] / 32768.0
                 img = overlap_model_input(masked, cfg.overlap_feature)
-                logits = self.predictor.model.apply(variables, img)
+                logits = self.predictor.apply_model(variables, img)
                 silent = n_out < cfg.vad.silent_samples
             labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return jnp.where(silent, -1, labels)

@@ -212,7 +212,7 @@ class OverlapSession(StreamingSession):
                 jnp.where(jnp.arange(trimmed.shape[-1]) < n_out, trimmed, 0.0)
                 [: cfg.overlap_feature.n_samples] / 32768.0,
                 cfg.overlap_feature)
-            logits = self.predictor.model.apply(variables, img[None])
+            logits = self.predictor.apply_model(variables, img[None])
             probs = jax.nn.softmax(logits, axis=-1)[0]
             label = jnp.argmax(probs).astype(jnp.int32)
             silent = n_out < cfg.vad.silent_samples
@@ -317,7 +317,7 @@ class SpeakerSession(StreamingSession):
         def fused(variables, raw, noise_thresh, vad_thr):
             trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
             feats, _ = speaker_feature(trimmed, n_out, cfg.speaker_feature)
-            logits = self.predictor.model.apply(variables, feats[None])
+            logits = self.predictor.apply_model(variables, feats[None])
             probs = (jax.nn.sigmoid(logits)[0] if self.predictor.sigmoid_head
                      else jax.nn.softmax(logits, axis=-1)[0])
             label = jnp.argmax(logits[0]).astype(jnp.int32)

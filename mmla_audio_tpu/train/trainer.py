@@ -177,11 +177,14 @@ class Trainer:
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         n_train = int(np.shape(x_train)[0])
-        if isinstance(x_train, jax.Array) and isinstance(y_train, jax.Array):
+        if isinstance(x_train, jax.Array):
             # device-resident corpus (e.g. featurized on device): pad and
-            # mask on device — np.asarray on a jax.Array would fetch it back
+            # mask on device — np.asarray on a jax.Array would fetch the
+            # whole corpus back to host.  Keyed on x alone: labels are tiny
+            # and commonly built host-side, so np labels must not silently
+            # push the big tensor down the host path.
             pad = (-n_train) % batch_size
-            xp, yp = x_train, y_train
+            xp, yp = x_train, jnp.asarray(y_train)
             if pad:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((pad,) + xp.shape[1:], xp.dtype)])

@@ -184,3 +184,52 @@ def test_speaker_session_registration_and_identify(tmp_path):
     cap2.stop()
     assert len(results) == 2
     assert all(r[1] in ("alice", "bob", "silent") for r in results)
+
+
+def test_no_direct_model_apply_outside_predictors():
+    """Tripwire for the numerics-policy bug class: every serving path must
+    call ``predictor.apply_model`` (which applies compute_dtype /
+    matmul_precision), never ``predictor.model.apply`` — three call sites
+    (sessions, multiplexer, post-time logits) once bypassed the policy and
+    silently no-opped ``--precision highest``."""
+    import pathlib
+
+    import mmla_audio_tpu
+
+    pkg = pathlib.Path(mmla_audio_tpu.__file__).parent
+    offenders = [
+        str(f) for f in pkg.rglob("*.py")
+        if f.name != "inference.py" and "ictor.model.apply" in f.read_text()
+    ]
+    assert not offenders, offenders
+
+
+def test_session_honors_predictor_numerics_policy(tmp_path):
+    """A session built on a bf16 predictor must actually run the trunk in
+    bf16: its probabilities differ from the f32 session's by bf16 rounding
+    (if the fused program ignored compute_dtype they would be bit-equal)."""
+    samples = synth_speech_i16(40960, seed=21)
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    noise = (np.random.RandomState(3).randn(160000) * 20).astype(np.int16)
+    import jax.numpy as jnp
+
+    probs = {}
+    for tag, kw in (("f32", {}), ("bf16", {"compute_dtype": jnp.bfloat16})):
+        pred = OverlapPredictor(variables, **kw)
+        cap = CaptureThread(ArraySource(samples)).start()
+        sess = OverlapSession(pred, cap, tmp_path / f"exp_{tag}")
+        sess.set_noise_profile(noise)
+        out = sess.run(max_windows=1)
+        cap.stop()
+        probs[tag] = np.asarray(out[0][2]) if len(out[0]) > 2 else None
+        # fall back to log-independent check via the fused program directly
+        label, p, _ = sess._fused(
+            pred.variables,
+            jnp.asarray(np.pad(samples, (0, 0)).astype(np.float32)),
+            sess.noise_thresh, jnp.asarray(sess.vad_threshold_db, jnp.float32))
+        probs[tag] = np.asarray(p)
+    diff = float(np.max(np.abs(probs["f32"] - probs["bf16"])))
+    assert diff > 0.0, "bf16 session produced bit-identical probs to f32 — " \
+                       "compute_dtype is not reaching the fused program"
+    assert diff < 0.2, diff

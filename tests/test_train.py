@@ -277,7 +277,10 @@ def test_fit_device_resident_inputs_match_host_inputs():
         return hist
 
     h_np = run(x, y)
-    h_dev = run(jnp.asarray(x), jnp.asarray(y))
+    # device features + HOST labels: the device path must key on x alone
+    # (np labels are the common shape and must not silently pull the big
+    # tensor down the host path)
+    h_dev = run(jnp.asarray(x), y)
     np.testing.assert_allclose(h_dev["loss"], h_np["loss"], rtol=1e-6)
     np.testing.assert_allclose(h_dev["acc"], h_np["acc"], rtol=1e-6)
     np.testing.assert_allclose(h_dev["val_loss"], h_np["val_loss"], rtol=1e-6)

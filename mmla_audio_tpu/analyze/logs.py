@@ -56,6 +56,15 @@ class SessionLog:
             log._wrote_header = log.path.stat().st_size > 0
         return log
 
+    def ensure_header(self) -> None:
+        """Create the file with its header even when no rows follow — an
+        empty conversation must still yield a parseable log (parse_log and
+        the chart visualizer open it unconditionally)."""
+        if not self._wrote_header:
+            with open(self.path, "a") as f:
+                f.write(self.header + "\n")
+            self._wrote_header = True
+
     def append(self, label: str, timestamp: datetime | None = None) -> int:
         ts = timestamp if timestamp is not None else datetime.today()
         mode = "a"

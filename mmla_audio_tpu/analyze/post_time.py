@@ -25,6 +25,7 @@ from datetime import datetime, timedelta
 from pathlib import Path
 from typing import Dict
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -70,13 +71,18 @@ def overlap_post_analyze(dirs: ExperimentDirs, predictor, *,
         sig, _ = read_wav(std)
         segs = segment_signal(sig, sr, win, win)             # (N, 24000)
         log_path = dirs.logs / (f.stem + ".txt")
-        log = SessionLog(log_path, kind="overlap", start_index=0)
+        # first write truncates, like the reference's open(..., 'w')
+        # (`overlap_detection_post_processing.py:214`) — a rerun must not
+        # append a second header/restart indices mid-file
+        log = SessionLog(log_path, kind="overlap", start_index=0,
+                         overwrite=True)
+        log.ensure_header()
         t0 = start_time or datetime.today()
         if len(segs):
-            pad = np.zeros((segs.shape[0], cfg.audio.window_samples), np.int16)
-            pad[:, :segs.shape[1]] = segs
+            # the predictor slices buf[..., :24000] itself — no need to pad
+            # each segment out to the 40960-sample live-window shape
             n = np.full((segs.shape[0],), segs.shape[1], np.int32)
-            labels, _ = predictor.predict(pad, n)
+            labels, _ = predictor.predict(segs.astype(np.int16), n)
             names = [OVERLAP_LABELS.get(str(int(l)), "silent")
                      for l in np.asarray(labels)]
             log.append_batch(names, t0, win)
@@ -106,46 +112,71 @@ def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
     logs = {}
     sr = cfg.audio.sample_rate
     win_s = cfg.audio.window_seconds                        # 2.56
-    vad_thr = calibrate_threshold(
-        noise if noise is not None else np.zeros(sr, np.int16),
-        cfg.vad.aggressiveness)
+    # Without an ambient profile fall back to the 30 dB floor used by the
+    # live sessions and standardize_audio — calibrating on silence yields a
+    # ~-88 dB threshold and the silent gate never fires.
+    vad_thr = (calibrate_threshold(noise, cfg.vad.aggressiveness)
+               if noise is not None else 30.0)
     frame_len = int(sr * cfg.vad.frame_ms / 1000)
 
     for f in sorted(dirs.post_whole.glob("*.wav")):
         std = _standardize_file(f, dirs, noise, cfg.denoise.passes_post, cfg)
         sig, _ = read_wav(std)
 
-        # silent detection per 2.56 s segment (VAD-trimmed length < 4000)
+        # silent detection per 2.56 s segment (VAD-trimmed length < 4000) —
+        # one batched device call over all segments of the conversation (a
+        # per-segment eager loop costs ~33 ms of dispatch per segment on the
+        # dev tunnel: minutes per hour of audio)
         segs = segment_signal(sig, sr, win_s, win_s)
         silent = set()
-        for i, seg in enumerate(segs):
-            T = frame_count(len(seg), frame_len)
-            if T <= 0:
-                silent.add(i)
-                continue
-            frames = seg[: T * frame_len].reshape(T, frame_len)
-            dec = energy_vad(jnp.asarray(frames.astype(np.float32)), vad_thr)
-            keep = np.asarray(collect_mask(dec, ring=cfg.vad.ring_frames))
-            if keep.sum() * frame_len < cfg.speaker_feature.silent_samples:
-                silent.add(i)
+        T = frame_count(segs.shape[1], frame_len) if len(segs) else 0
+        if len(segs) and T > 0:
+            frames = segs[:, : T * frame_len].astype(np.float32) \
+                .reshape(len(segs), T, frame_len)
 
-        # whole-file featurization, sliced into 256-frame windows
-        feats = np.asarray(mfcc39(jnp.asarray(sig.astype(np.float32))))
+            def _kept_frames(fr):
+                dec = energy_vad(fr, vad_thr)
+                return collect_mask(dec, ring=cfg.vad.ring_frames).sum()
+
+            kept = np.asarray(jax.jit(jax.vmap(_kept_frames))(
+                jnp.asarray(frames)))
+            silent = {i for i in range(len(segs))
+                      if kept[i] * frame_len
+                      < cfg.speaker_feature.silent_samples}
+        elif len(segs):
+            silent = set(range(len(segs)))
+
+        # whole-file featurization, sliced into max_frames windows — same
+        # feature config the predictor was built with (the live path threads
+        # cfg.speaker_feature the same way)
+        fc = cfg.speaker_feature
+        width = 3 * fc.n_cep
+        feats = np.asarray(mfcc39(
+            jnp.asarray(sig.astype(np.float32)),
+            sample_rate=fc.sample_rate, n_fft=fc.n_fft, n_filt=fc.n_filt,
+            n_cep=fc.n_cep, preemph=fc.preemph, ceplifter=fc.ceplifter,
+            append_energy=fc.append_energy, win_length=fc.win_length,
+            hop_length=fc.hop_length, delta_n=fc.delta_n))
         T = feats.shape[0]
-        n_slices = -(-T // 256)
+        n_slices = -(-T // fc.max_frames)
         feats = np.concatenate(
-            [feats, np.zeros((n_slices * 256 - T, 39), np.float32)])
-        slices = feats.reshape(n_slices, 256, 39)
+            [feats,
+             np.zeros((n_slices * fc.max_frames - T, width), np.float32)])
+        slices = feats.reshape(n_slices, fc.max_frames, width)
         logits = predictor.logits_from_features(jnp.asarray(slices))
         pred_idx = np.argmax(np.asarray(logits), axis=-1)
 
         log_path = dirs.logs / (f.stem + ".txt")
         log = SessionLog(log_path, kind="speaker", start_index=0, overwrite=True)
+        log.ensure_header()
         t = start_time or datetime.today()
         for i in range(n_slices):
             t = t + timedelta(seconds=win_s)                # delta BEFORE row
+            # .get fallback like the live sessions: a head wider than the
+            # enrollment dict must not KeyError mid-conversation
             name = "silent" if i in silent else \
-                speaker_id_dict[str(int(pred_idx[i]))]
+                speaker_id_dict.get(str(int(pred_idx[i])),
+                                    str(int(pred_idx[i])))
             log.append(name, t)
         logs[f.stem] = log_path
         if make_charts:

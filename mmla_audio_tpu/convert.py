@@ -25,7 +25,7 @@ checkpoint indexes (tests/test_tfbundle.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -192,6 +192,12 @@ def speaker_variables_from_keras(flat: List[np.ndarray],
     tstats["KerasBatchNorm_0"] = {"BatchNorm_0": sf}
     trunk["BiLSTM_0"] = _bilstm(c)
     head = _conv(c)
+    if head_units is not None and head["kernel"].shape[-1] != head_units:
+        # validate rather than silently ignore: a mismatch would otherwise
+        # surface only at model apply time
+        raise ValueError(
+            f"head_units={head_units} does not match the checkpoint head "
+            f"({head['kernel'].shape[-1]} units)")
     c.done()
     return {"params": {"trunk": trunk, "head": head},
             "batch_stats": {"trunk": tstats}}

@@ -76,7 +76,7 @@ class EdgeOverlapSession(StreamingSession):
 
         fcfg = cfg.overlap_feature
 
-        def fused(variables, raw, noise_thresh):
+        def fused(variables, raw, noise_thresh, ssim_thr):
             y = raw / 32768.0
             y_dn = reduce_noise(y, noise_thresh, cfg.denoise,
                                 sr=cfg.audio.sample_rate,
@@ -89,8 +89,10 @@ class EdgeOverlapSession(StreamingSession):
             probs = jax.nn.softmax(logits, axis=-1)[0]
             label = jnp.argmax(probs).astype(jnp.int32)
             # SSIM < threshold: denoising erased the features => the window
-            # was noise-only => silent (record_on_pi.py:44-48, :120)
-            label = jnp.where(similarity < self.ssim_threshold, -1, label)
+            # was noise-only => silent (record_on_pi.py:44-48, :120).
+            # Passed as an operand, not a trace constant, so mutating
+            # self.ssim_threshold between windows takes effect.
+            label = jnp.where(similarity < ssim_thr, -1, label)
             return label, probs, similarity
 
         self._fused = jax.jit(fused)
@@ -98,7 +100,8 @@ class EdgeOverlapSession(StreamingSession):
     def process_window(self, window_i16: np.ndarray):
         label, probs, sim = self._fused(
             self.predictor.variables,
-            jnp.asarray(window_i16.astype(np.float32)), self.noise_thresh)
+            jnp.asarray(window_i16.astype(np.float32)), self.noise_thresh,
+            jnp.asarray(self.ssim_threshold, jnp.float32))
         label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]

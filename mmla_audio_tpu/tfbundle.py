@@ -351,7 +351,7 @@ def keras_weight_list(tensors: Dict[str, np.ndarray]) -> List[np.ndarray]:
     ignored.
     """
     keyed = []
-    orphans = []
+    orphan_families: Dict[str, list] = {}
     layers_present = set()
     for name, arr in tensors.items():
         if ".OPTIMIZER_SLOT" in name:
@@ -363,8 +363,17 @@ def keras_weight_list(tensors: Dict[str, np.ndarray]) -> List[np.ndarray]:
             continue
         m = _ORPHAN_KEY.match(name)
         if m:
-            orphans.append((int(m.group(1)), arr))
-    if orphans:
+            fam = ("trainable_variables" if name.startswith("trainable_")
+                   else "variables")
+            orphan_families.setdefault(fam, []).append((int(m.group(1)), arr))
+    if orphan_families:
+        # The two families carry INDEPENDENT numberings (and `variables/` is
+        # the canonical superset when both exist) — sorting them together
+        # would interleave unrelated indices and, because the six BiLSTM
+        # arrays share shapes, silently permute weights.  Use one family.
+        fam = ("variables" if "variables" in orphan_families
+               else "trainable_variables")
+        orphans = sorted(orphan_families[fam], key=lambda t: t[0])
         max_layer = max(layers_present, default=-1)
         missing = sorted(set(range(max_layer + 1)) - layers_present)
         if len(missing) != 1:
@@ -372,7 +381,6 @@ def keras_weight_list(tensors: Dict[str, np.ndarray]) -> List[np.ndarray]:
                 f"cannot place {len(orphans)} orphan variables: expected "
                 f"exactly one layer_with_weights gap, found {missing}")
         slot = missing[0]
-        orphans.sort()
         for i, (_, arr) in enumerate(orphans):
             keyed.append(((slot, 0, 0, f"~orphan{i:04d}"), arr))
     keyed.sort(key=lambda kv: kv[0])

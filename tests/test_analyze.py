@@ -145,3 +145,64 @@ def test_visualize_log_silent_only(tmp_path):
     log.append("silent", datetime(2026, 1, 1, 0, 0, 2))
     out = visualize_log(tmp_path / "x.txt", tmp_path / "charts")
     assert out.exists()
+
+
+def test_overlap_post_analyze_rerun_truncates(tmp_path):
+    """Rerunning the overlap post pipeline must truncate the previous log
+    (reference `overlap_detection_post_processing.py:214` opens 'w'), not
+    append a second header/duplicate indices mid-file."""
+    dirs = _experiment_with_conversation(tmp_path)
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    noise = (np.random.RandomState(9).randn(160000) * 20).astype(np.int16)
+    for _ in range(2):
+        logs = overlap_post_analyze(dirs, pred, noise=noise,
+                                    start_time=datetime(2026, 1, 1),
+                                    make_charts=False)
+    rows = parse_log(list(logs.values())[0])
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+
+
+def test_post_analyze_empty_conversation_writes_header(tmp_path):
+    """A recording too short for one segment still produces a parseable log
+    (and charts do not crash on the missing file)."""
+    dirs = bootstrap(tmp_path / "experiment")
+    write_wav(dirs.post_whole / "audio_short.wav",
+              synth_speech_i16(8000, seed=1))      # 0.5 s < 1.5 s
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    logs = overlap_post_analyze(dirs, pred, make_charts=False)
+    rows = parse_log(list(logs.values())[0])
+    assert rows == []
+
+
+def test_speaker_post_analyze_dict_fallback_and_no_noise(tmp_path):
+    """A head wider than the enrollment dict falls back to the numeric
+    label (like the live sessions) instead of KeyError; with noise=None the
+    silent gate uses the 30 dB floor, so near-silent conversations are
+    logged silent rather than attributed to a speaker."""
+    dirs = bootstrap(tmp_path / "experiment")
+    quiet = (np.random.RandomState(0).randn(16000 * 6) * 10).astype(np.int16)
+    write_wav(dirs.post_whole / "audio_quiet.wav", quiet)
+    write_wav(dirs.post_whole / "audio_speech.wav",
+              synth_speech_i16(16000 * 6, seed=3))
+    model = SpeakerResBLSTM(head_units=4)
+    pred = SpeakerPredictor(model.init_variables(jax.random.PRNGKey(0)),
+                            head_units=4, sigmoid_head=True)
+    logs = speaker_post_analyze(dirs, pred, speaker_id_dict={"0": "alice"},
+                                start_time=datetime(2026, 1, 1),
+                                make_charts=False)
+    # every FULL 2.56 s segment of near-silence gates to 'silent'; the final
+    # partial slice is model-labeled — the reference's silent_index covers
+    # only the floor-count segment files while rows span ceil(T/256) slices
+    # (`speaker_identification_post_processing.py:224-251` vs `:263-277`),
+    # a quirk reproduced deliberately
+    quiet_rows = parse_log(logs["audio_quiet"])
+    assert len(quiet_rows) == 3
+    assert all(r[1] == "silent" for r in quiet_rows[:2])
+    # real speech with a 4-unit head and a 1-entry dict: numeric fallback,
+    # never KeyError
+    speech_rows = parse_log(logs["audio_speech"])
+    assert len(speech_rows) == 3
+    assert all(r[1] in ("alice", "1", "2", "3", "silent")
+               for r in speech_rows)

@@ -128,14 +128,34 @@ class PyAudioSource:
 
 
 class CaptureThread:
-    """Producer thread: source.read(chunk) -> ring buffer, until stopped."""
+    """Producer thread: source.read(chunk) -> ring buffer, until stopped.
+
+    Failure/gate semantics (SURVEY §5):
+
+    * ``suspend()/resume()`` pause the PRODUCER and run ``source.suspend()``
+      on the producer thread itself — closing a PyAudio stream from another
+      thread while the producer is blocked in ``read`` kills capture
+      permanently.  Suspension clears the ring (the Pi gate means "nothing
+      is recorded while released"), so stale pre-suspend audio is never
+      classified after resume.
+    * ``drained`` flips true only after the FINAL chunk is pushed (checking
+      ``source.exhausted`` from the consumer races the last push and
+      dropped complete windows).
+    * Any source/ring exception is captured in ``error`` (and drains the
+      thread) instead of dying silently — sessions re-raise it so a mic
+      fault is distinguishable from a clean EOF.
+    """
 
     def __init__(self, source, cfg: AudioConfig = AudioConfig(),
                  ring_seconds: float = 30.0):
         self.source = source
         self.cfg = cfg
         self.ring = make_ring(int(ring_seconds * cfg.sample_rate))
+        self.drained = False
+        self.error: Optional[BaseException] = None
         self._stop = threading.Event()
+        self._pause_req = threading.Event()
+        self._paused = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def start(self):
@@ -144,27 +164,56 @@ class CaptureThread:
         return self
 
     def _run(self):
-        while not self._stop.is_set():
-            chunk = self.source.read(self.cfg.chunk_samples)
-            self.ring.push(chunk)
-            if getattr(self.source, "exhausted", False):
-                break
+        try:
+            while not self._stop.is_set():
+                if self._pause_req.is_set():
+                    if hasattr(self.source, "suspend"):
+                        self.source.suspend()
+                    self.ring.clear()
+                    self._paused.set()
+                    while self._pause_req.is_set() and not self._stop.is_set():
+                        time.sleep(0.005)
+                    self._paused.clear()
+                    if self._stop.is_set():
+                        break
+                    if hasattr(self.source, "resume"):
+                        self.source.resume()
+                    continue
+                chunk = self.source.read(self.cfg.chunk_samples)
+                self.ring.push(chunk)
+                if getattr(self.source, "exhausted", False):
+                    break
+        except BaseException as e:  # noqa: BLE001 — surfaced via self.error
+            self.error = e
+        finally:
+            self.drained = True
+
+    def suspend(self, timeout: float = 2.0) -> None:
+        """Gate released: park the producer (it suspends the source from its
+        own thread) and drop buffered audio."""
+        self._pause_req.set()
+        self._paused.wait(timeout)
+
+    def resume(self) -> None:
+        """Gate pressed again: un-park the producer (it resumes the source)."""
+        self._pause_req.clear()
 
     def read_window(self, n_samples: int, timeout: float = 10.0
                     ) -> Optional[np.ndarray]:
         """Block until a WHOLE window is available; None on timeout/EOF.
-        A sub-window tail left at EOF is dropped (it is < one capture chunk,
-        far below the silent gate)."""
-        deadline = time.time() + timeout
+        At EOF the sub-window tail (up to one window) is dropped — live
+        sessions have no EOF (microphones do not end); for exhaustive
+        whole-file analysis use the post-time pipelines, whose segmentation
+        covers the tail."""
+        deadline = time.monotonic() + timeout
         while True:
             out = self.ring.pop(n_samples)
             if out is not None:
                 return out
-            if (getattr(self.source, "exhausted", False)
-                    and self.ring.available < n_samples):
+            if self.drained and self.ring.available < n_samples:
                 self.ring.clear()
                 return None
-            if time.time() >= deadline:
+            if time.monotonic() >= deadline:
                 return None
             time.sleep(0.001)
 

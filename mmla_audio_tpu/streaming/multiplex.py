@@ -39,12 +39,10 @@ import numpy as np
 
 from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
 from mmla_audio_tpu.core.config import PipelineConfig
-from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
+from mmla_audio_tpu.ops.denoise import noise_threshold
 from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature_batch
-from mmla_audio_tpu.streaming.session import _quantize_i16
+from mmla_audio_tpu.streaming.session import preprocess_window
 from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
-from mmla_audio_tpu.vad import energy_vad, vad_trim
-from mmla_audio_tpu.vad.collector import frame_count
 
 __all__ = ["Stream", "Multiplexer"]
 
@@ -114,42 +112,22 @@ class Multiplexer:
 
     def _build_program(self):
         cfg = self.cfg
-        sr = cfg.audio.sample_rate
-        frame_len = int(sr * cfg.vad.frame_ms / 1000)
-        n_win = cfg.audio.window_samples
-        T = frame_count(n_win, frame_len)
         use_speaker = self.kind == "speaker"
         use_gmm = cfg.vad.decision == "gmm"
 
-        def one(raw, noise_thresh, vad_thr, gmm_state):
-            y = raw / 32768.0
-            y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
-                             passes=cfg.denoise.passes_live)
-            i16 = _quantize_i16(y)
-            if use_gmm:
-                # per-stream adaptive GMM state batches as an operand (the
-                # single-stream session captures it as a trace constant)
-                from mmla_audio_tpu.vad.gmm import gmm_vad
-
-                decisions, _ = gmm_vad(i16, gmm_state,
-                                       aggressiveness=cfg.vad.aggressiveness,
-                                       frame_len=frame_len)
-                decisions = decisions[:T]
-            else:
-                frames = i16[: T * frame_len].reshape(T, frame_len)
-                decisions = energy_vad(frames, vad_thr)
-            trimmed, n_out = vad_trim(i16, jnp.asarray(n_win), decisions,
-                                      frame_len, cfg.vad.ring_frames)
-            return trimmed, n_out
-
         def batch_fn(variables, raws, noise_threshs, vad_thrs,
                      gmm_states=None):
+            # same chain as the single-stream sessions (preprocess_window),
+            # vmapped; per-stream GMM states batch as operands (the sessions
+            # capture theirs as trace constants)
             if use_gmm:
-                trimmed, n_out = jax.vmap(one)(raws, noise_threshs, vad_thrs,
-                                               gmm_states)
+                trimmed, n_out = jax.vmap(
+                    lambda r, nt, vt, gs: preprocess_window(
+                        r, nt, vt, cfg, gmm_state=gs))(
+                        raws, noise_threshs, vad_thrs, gmm_states)
             else:
                 trimmed, n_out = jax.vmap(
-                    lambda r, nt, vt: one(r, nt, vt, None))(
+                    lambda r, nt, vt: preprocess_window(r, nt, vt, cfg))(
                         raws, noise_threshs, vad_thrs)
             if use_speaker:
                 feats, _ = speaker_feature_batch(trimmed, n_out,
@@ -157,10 +135,10 @@ class Multiplexer:
                 logits = self.predictor.apply_model(variables, feats)
                 silent = n_out < cfg.speaker_feature.silent_samples
             else:
-                masked = jnp.where(
-                    jnp.arange(trimmed.shape[-1]) < n_out[:, None],
-                    trimmed, 0.0)[:, : cfg.overlap_feature.n_samples] / 32768.0
-                img = overlap_model_input(masked, cfg.overlap_feature)
+                # trimmed is zero beyond n_out (preprocess_window contract)
+                img = overlap_model_input(
+                    trimmed[:, : cfg.overlap_feature.n_samples] / 32768.0,
+                    cfg.overlap_feature)
                 logits = self.predictor.apply_model(variables, img)
                 silent = n_out < cfg.vad.silent_samples
             labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -214,7 +192,10 @@ class Multiplexer:
         if ring is None:                    # raw source without a ring
             return stream.capture.read_window(n_win, timeout=0.0)
         out = ring.pop(n_win)
-        if out is None and getattr(stream.capture.source, "exhausted", False) \
+        # `drained` (producer pushed its final chunk) not `source.exhausted`
+        # (which flips true BEFORE the last push and would drop a complete
+        # buffered window)
+        if out is None and getattr(stream.capture, "drained", False) \
                 and ring.available < n_win:
             ring.clear()
             stream.done = True

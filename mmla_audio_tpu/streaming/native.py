@@ -178,7 +178,7 @@ class PyRingBuffer:
         got = min(n, avail)
         if got == 0:
             return np.empty(0, np.int16)
-        return self.pop(got) if got else np.empty(0, np.int16)
+        return self.pop(got)
 
     def clear(self):
         with self._lock:

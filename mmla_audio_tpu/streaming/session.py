@@ -59,6 +59,34 @@ def _quantize_i16(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
 
 
+def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
+                      vad_thr, cfg, *, gmm_state=None):
+    """THE per-window pre-decision chain, shared by the single-stream
+    sessions and the Multiplexer's batched program so the two paths cannot
+    diverge: denoise -> int16 re-quantization -> VAD decisions (energy when
+    ``gmm_state`` is None, otherwise the WebRTC-architecture GMM) ->
+    hysteresis trim.  Returns (trimmed int16-scale float buffer, valid
+    count); the trimmed buffer is zero beyond the count (vad_trim scatters
+    kept frames into a zero buffer)."""
+    sr = cfg.audio.sample_rate
+    y = raw_i16f / 32768.0
+    y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
+                     passes=cfg.denoise.passes_live)
+    i16 = _quantize_i16(y)
+    frame_len = int(sr * cfg.vad.frame_ms / 1000)
+    T = frame_count(i16.shape[-1], frame_len)
+    if gmm_state is not None:
+        decisions, _ = gmm_vad(i16, gmm_state,
+                               aggressiveness=cfg.vad.aggressiveness,
+                               frame_len=frame_len)
+        decisions = decisions[:T]
+    else:
+        frames = i16[: T * frame_len].reshape(T, frame_len)
+        decisions = energy_vad(frames, vad_thr)
+    return vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
+                    frame_len, cfg.vad.ring_frames)
+
+
 class StreamingSession:
     """Shared mechanics: calibration, fused window program, logging."""
 
@@ -133,24 +161,9 @@ class StreamingSession:
         """denoise -> quantize -> VAD trim.  Returns (trimmed int16-scale
         float buffer, valid count)."""
         cfg = self.cfg
-        sr = cfg.audio.sample_rate
-        y = raw_i16f / 32768.0
-        y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
-                         passes=cfg.denoise.passes_live)
-        i16 = _quantize_i16(y)
-        frame_len = int(sr * cfg.vad.frame_ms / 1000)
-        T = frame_count(i16.shape[-1], frame_len)
-        frames = i16[: T * frame_len].reshape(T, frame_len)
-        if cfg.vad.decision == "gmm":
-            decisions, _ = gmm_vad(i16, self.gmm_state,
-                                   aggressiveness=cfg.vad.aggressiveness,
-                                   frame_len=frame_len)
-            decisions = decisions[:T]
-        else:
-            decisions = energy_vad(frames, vad_thr)
-        trimmed, n_out = vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
-                                  frame_len, cfg.vad.ring_frames)
-        return trimmed, n_out
+        state = self.gmm_state if cfg.vad.decision == "gmm" else None
+        return preprocess_window(raw_i16f, noise_thresh, vad_thr, cfg,
+                                 gmm_state=state)
 
     # -- loop -------------------------------------------------------------------
     def run(self, max_windows: Optional[int] = None,
@@ -161,20 +174,28 @@ class StreamingSession:
         n_win = self.cfg.audio.window_samples
         suspended = False
         src = getattr(self.capture, "source", None)
+        # CaptureThread owns suspension (the producer thread suspends the
+        # source itself — closing a PyAudio stream under a blocked read from
+        # this thread kills capture); raw sources fall back to direct calls.
+        sus_target = self.capture if hasattr(self.capture, "suspend") else src
         try:
             while max_windows is None or len(results) < max_windows:
                 if self.gate is not None and not self.gate.pressed:
-                    if not suspended and hasattr(src, "suspend"):
-                        src.suspend()
+                    if not suspended and hasattr(sus_target, "suspend"):
+                        sus_target.suspend()
                     suspended = True
                     if not self.gate.wait_pressed(timeout=0.1):
                         continue
                 if suspended:
-                    if hasattr(src, "resume"):
-                        src.resume()
+                    if hasattr(sus_target, "resume"):
+                        sus_target.resume()
                     suspended = False
                 window = self.capture.read_window(n_win, timeout=30.0)
                 if window is None:
+                    err = getattr(self.capture, "error", None)
+                    if err is not None:
+                        raise RuntimeError(
+                            f"capture failed: {err!r}") from err
                     break
                 label, prob = self.process_window(window)
                 ts = datetime.today()
@@ -208,9 +229,9 @@ class OverlapSession(StreamingSession):
 
         def fused(variables, raw, noise_thresh, vad_thr):
             trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
+            # trimmed is zero beyond n_out (preprocess_window contract)
             img = overlap_model_input(
-                jnp.where(jnp.arange(trimmed.shape[-1]) < n_out, trimmed, 0.0)
-                [: cfg.overlap_feature.n_samples] / 32768.0,
+                trimmed[: cfg.overlap_feature.n_samples] / 32768.0,
                 cfg.overlap_feature)
             logits = self.predictor.apply_model(variables, img[None])
             probs = jax.nn.softmax(logits, axis=-1)[0]

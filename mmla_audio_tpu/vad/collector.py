@@ -50,7 +50,11 @@ def collect_mask(is_speech: jnp.ndarray, valid: jnp.ndarray | None = None,
     """vad_collector keep-mask over per-frame decisions ``is_speech (T,)``.
 
     ``valid (T,)`` marks frames that exist for a shorter-than-buffer signal
-    (invalid frames never trigger or emit).  Returns bool ``(T,)``: which
+    (invalid frames never trigger or emit) and MUST be a prefix mask
+    (``valid[i] >= valid[i+1]``, i.e. True then False) — every caller passes
+    ``arange < n_frames``.  With interior holes the retroactive ring
+    emission at a trigger would count back by index distance rather than
+    ring occupancy and keep the wrong frames.  Returns bool ``(T,)``: which
     frames appear in the concatenated output, in order.
     """
     T = is_speech.shape[0]

@@ -233,3 +233,70 @@ def test_session_honors_predictor_numerics_policy(tmp_path):
     assert diff > 0.0, "bf16 session produced bit-identical probs to f32 — " \
                        "compute_dtype is not reaching the fused program"
     assert diff < 0.2, diff
+
+
+def test_last_window_not_dropped_on_eof_race():
+    """ArraySource.exhausted flips true BEFORE the producer pushes the final
+    chunk (and realtime pacing sleeps in between); the consumer must key on
+    CaptureThread.drained or a complete buffered window gets cleared."""
+    src = ArraySource(np.arange(40960, dtype=np.int16) % 1000,
+                      realtime=True, sample_rate=160_000)   # 12.5 ms/chunk
+    cap = CaptureThread(src).start()
+    w = cap.read_window(40960, timeout=10.0)
+    cap.stop()
+    assert w is not None and len(w) == 40960
+    np.testing.assert_array_equal(w, np.arange(40960, dtype=np.int16) % 1000)
+
+
+def test_capture_error_surfaces_to_session(tmp_path):
+    """A source fault (mic unplug) must raise, not masquerade as EOF."""
+    class BrokenSource:
+        exhausted = False
+
+        def read(self, n):
+            raise OSError("mic unplugged")
+
+    cap = CaptureThread(BrokenSource()).start()
+    assert cap.read_window(40960, timeout=5.0) is None
+    assert isinstance(cap.error, OSError)
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    sess = OverlapSession(pred, cap, tmp_path / "exp")
+    noise = (np.random.RandomState(3).randn(160000) * 20).astype(np.int16)
+    sess.set_noise_profile(noise)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="capture failed"):
+        sess.run(max_windows=1)
+    cap.stop()
+
+
+def test_capture_suspend_parks_producer_and_clears_ring():
+    """suspend() stops the producer (source.suspend runs on the producer's
+    own thread) and drops buffered audio — the Pi gate's 'nothing recorded
+    while released' semantics; resume() restarts cleanly."""
+    import time as _t
+
+    events = []
+
+    class Source(FakePCMSource):
+        def suspend(self):
+            events.append("suspend")
+
+        def resume(self):
+            events.append("resume")
+
+    cap = CaptureThread(Source(seed=0)).start()
+    deadline = _t.monotonic() + 5.0
+    while cap.ring.available < 4000 and _t.monotonic() < deadline:
+        _t.sleep(0.005)
+    assert cap.ring.available >= 4000
+    cap.suspend()
+    assert events == ["suspend"]
+    assert cap.ring.available == 0          # buffered audio dropped
+    _t.sleep(0.05)
+    assert cap.ring.available == 0          # producer parked, not pushing
+    cap.resume()
+    w = cap.read_window(40960, timeout=5.0)
+    assert w is not None and events == ["suspend", "resume"]
+    cap.stop()

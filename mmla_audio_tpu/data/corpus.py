@@ -14,17 +14,52 @@ window per clip) via ``featurize_clips``.
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from mmla_audio_tpu.core.config import SpeakerFeatureConfig
 from mmla_audio_tpu.data.wavio import read_wav
-from mmla_audio_tpu.ops.mfcc import mfcc39
+from mmla_audio_tpu.ops.mfcc import max_frames_for, mfcc39_windowed
 
 __all__ = ["featurize_corpus", "featurize_clips", "one_hot_first_appearance"]
+
+_BUCKET_SECONDS = 5.0
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_jit(bucket_T: int, cfg: SpeakerFeatureConfig):
+    def fn(buf, n):
+        return mfcc39_windowed(
+            buf, n, max_frames=bucket_T, delta_n=cfg.delta_n,
+            win_length=cfg.win_length, hop_length=cfg.hop_length,
+            sample_rate=cfg.sample_rate, n_fft=cfg.n_fft, n_filt=cfg.n_filt,
+            n_cep=cfg.n_cep, preemph=cfg.preemph, ceplifter=cfg.ceplifter,
+            append_energy=cfg.append_energy)
+    return jax.jit(fn)
+
+
+def _mfcc39_clip(sig: np.ndarray, cfg: SpeakerFeatureConfig) -> np.ndarray:
+    """Whole-clip MFCC+Δ+ΔΔ with ``cfg``'s psf parameters, through the
+    fixed-shape windowed kernel: the clip zero-pads to a 5 s bucket so live
+    registration compiles ONE device program per bucket instead of one per
+    unique clip length (tunnel compiles cost ~30-400 s each, CLAUDE.md).
+    Values match psf on the exact clip — the windowed path's valid-prefix
+    masking and dynamic-end delta handling are the parity-tested live
+    contract."""
+    bucket = int(_BUCKET_SECONDS * cfg.sample_rate)
+    n = len(sig)
+    pad_len = max(-(-n // bucket), 1) * bucket
+    padded = np.zeros(pad_len, np.float32)
+    padded[:n] = sig
+    bucket_T = max_frames_for(pad_len, cfg.win_length, cfg.hop_length)
+    feat, valid = _windowed_jit(bucket_T, cfg)(jnp.asarray(padded),
+                                               jnp.asarray(n, jnp.int32))
+    return np.asarray(feat)[: int(valid)]
 
 
 def one_hot_first_appearance(labels: Sequence[str], dim: int | None = None
@@ -56,10 +91,17 @@ def featurize_corpus(corpus_dir, cfg: SpeakerFeatureConfig = SpeakerFeatureConfi
     xs: List[np.ndarray] = []
     labels: List[str] = []
     for path in sorted(Path(corpus_dir).glob("*.wav")):
-        sig, _ = read_wav(path)
+        sig, rate = read_wav(path)
+        if rate != cfg.sample_rate:
+            # read_wav accepts any 8-48 kHz WAV; featurizing at the wrong
+            # rate would silently produce garbage MFCCs and an unusable
+            # registered model — resample first (data.standardize).
+            raise ValueError(
+                f"{path}: sample rate {rate} != configured "
+                f"{cfg.sample_rate}; run standardize_audio first")
         if len(sig) < min_samples:
             continue
-        feats = np.asarray(mfcc39(jnp.asarray(sig.astype(np.float32))))
+        feats = _mfcc39_clip(sig.astype(np.float32), cfg)
         T = feats.shape[0]
         n_slices = -(-T // cfg.max_frames)
         feats = np.concatenate(
@@ -77,10 +119,11 @@ def featurize_clips(clips: Sequence[np.ndarray], labels: Sequence[str],
                     dim: int | None = None,
                     cfg: SpeakerFeatureConfig = SpeakerFeatureConfig()
                     ) -> Tuple[np.ndarray, np.ndarray, Dict[str, str]]:
-    """make_feature_timit: one (256, 39) window per clip (truncate/pad)."""
+    """make_feature_timit: one (256, 39) window per clip (truncate/pad).
+    Clips must already be at ``cfg.sample_rate``."""
     xs = []
     for sig in clips:
-        feats = np.asarray(mfcc39(jnp.asarray(np.asarray(sig, np.float32))))
+        feats = _mfcc39_clip(np.asarray(sig, np.float32), cfg)
         if feats.shape[0] < cfg.max_frames:
             feats = np.concatenate(
                 [feats, np.zeros((cfg.max_frames - feats.shape[0],

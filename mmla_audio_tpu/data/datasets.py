@@ -54,7 +54,13 @@ def load_labels_csv(labels_csv, name_col: str = "image_file_name",
 
 def one_hot(labels: Sequence[int], n_classes: int | None = None) -> np.ndarray:
     labels = np.asarray(labels, np.int64)
+    if len(labels) and labels.min() < 0:
+        # negative indexing would silently one-hot the LAST class (e.g. an
+        # unexpected overlap_degree 0 under label_offset=-1)
+        raise ValueError(f"negative label after offset: {labels.min()}")
     n = n_classes or int(labels.max()) + 1
+    if len(labels) and labels.max() >= n:
+        raise ValueError(f"label {labels.max()} >= n_classes {n}")
     y = np.zeros((len(labels), n), np.float32)
     y[np.arange(len(labels)), labels] = 1.0
     return y
@@ -89,8 +95,11 @@ def read_xlsx(path, sheet: int = 0) -> Tuple[List[str], List[List[Any]]]:
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
         except KeyError:
             pass
-        sheets = sorted(n for n in zf.namelist()
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        # numeric sort: lexicographic order puts sheet10 before sheet2
+        sheets = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)))
         if not sheets:
             raise ValueError(f"no worksheets in {path}")
         root = ElementTree.fromstring(zf.read(sheets[sheet]))
@@ -141,6 +150,10 @@ def load_labels_xlsx(label_path, *, sort_by: Sequence[str] = ("Sessions", "Segme
     missing = [c for c in (*sort_by, label_col) if c not in col]
     if missing:
         raise KeyError(f"{label_path}: missing columns {missing}; has {header}")
+    # blank cells read as None (pandas/openpyxl omit empty cells); drop
+    # those rows rather than crash comparing int with None in the sort
+    key_cols = [col[c] for c in (*sort_by, label_col)]
+    rows = [r for r in rows if all(r[i] is not None for i in key_cols)]
     rows.sort(key=lambda r: tuple(r[col[c]] for c in sort_by))
     labels = [r[col[label_col]] for r in rows]
     cats = sorted(set(labels))
@@ -161,7 +174,7 @@ def load_image_dataset(images_dir, labels_csv, *, n_classes: int | None = None,
     overlapped, `data_augmentation.py:91-92`) onto 0-based classes with -1.
     """
     label_map = load_labels_csv(labels_csv, name_col, label_col)
-    names = [n for n in sorted(label_map) ]
+    names = sorted(label_map)
     x, names = load_images(images_dir, names)
     labels = [label_map[n] + label_offset for n in names]
     return x, one_hot(labels, n_classes), names

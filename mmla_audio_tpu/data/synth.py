@@ -25,13 +25,23 @@ __all__ = ["MixturePlanEntry", "speaker_count_for_index", "overlay",
            "make_mixture", "synthesize_corpus"]
 
 
-def speaker_count_for_index(i: int) -> int:
-    """data_augmentation.py:45-52."""
-    if i < 3150:
+def speaker_count_for_index(i: int, n_mixtures: int = 6300) -> int:
+    """data_augmentation.py:45-52: absolute thresholds 3150/5040/5985 at the
+    reference's 6300 mixtures = a 50%/30%/15%/5% schedule.  For other corpus
+    sizes the proportions scale (absolute thresholds would make e.g. a
+    1000-mixture corpus ALL 2-speaker, silently dropping the 3-5-speaker
+    cases the detector must learn)."""
+    if n_mixtures == 6300:
+        t2, t3, t4 = 3150, 5040, 5985
+    else:
+        t2 = round(n_mixtures * 0.50)
+        t3 = round(n_mixtures * 0.80)
+        t4 = round(n_mixtures * 0.95)
+    if i < t2:
         return 2
-    if i < 5040:
+    if i < t3:
         return 3
-    if i < 5985:
+    if i < t4:
         return 4
     return 5
 
@@ -84,7 +94,7 @@ def synthesize_corpus(clip_loader: Callable[[int, int], tuple[np.ndarray, str]],
     rng = np.random.RandomState(seed)
     plan = []
     for i in range(n_mixtures):
-        k = speaker_count_for_index(i)
+        k = speaker_count_for_index(i, n_mixtures)
         clips, ids = [], []
         for _ in range(k):
             sp = rng.randint(0, n_speakers)

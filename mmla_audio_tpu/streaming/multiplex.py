@@ -103,11 +103,15 @@ class Multiplexer:
         self.streams: List[Stream] = []
         self._rr = 0                            # round-robin gather offset
         self._inflight = None                   # (ready, device labels)
-        # preallocated host staging per bucket size (double-buffered by the
-        # one-tick pipeline: staging for tick N+1 fills while N computes)
+        # preallocated host staging, TWO buffers per bucket size: the
+        # one-tick pipeline keeps one dispatched batch in flight whose
+        # host->device transfer may still be asynchronous — filling the same
+        # numpy buffer for the next tick would corrupt the in-flight copy
+        # (observed as timing-dependent wrong labels under host load)
         n_win = cfg.audio.window_samples
-        self._stage = {b: np.zeros((b, n_win), np.float32)
+        self._stage = {b: [np.zeros((b, n_win), np.float32) for _ in range(2)]
                        for b in self.buckets}
+        self._stage_flip = {b: 0 for b in self.buckets}
         self._build_program()
 
     def _build_program(self):
@@ -230,7 +234,8 @@ class Multiplexer:
         batch asynchronously; returns the un-fetched device labels."""
         bucket = next(b for b in self.buckets if b >= len(ready)) \
             if len(ready) <= self.buckets[-1] else self.buckets[-1]
-        raws = self._stage[bucket]
+        self._stage_flip[bucket] ^= 1
+        raws = self._stage[bucket][self._stage_flip[bucket]]
         raws[len(ready):] = 0.0
         nts = np.zeros((bucket,) + np.shape(ready[0][0].noise_thresh),
                        np.float32)

@@ -63,17 +63,26 @@ class BestCheckpointer:
         return better
 
 
+def _cache_paths(path) -> tuple[Path, Path]:
+    """np.savez APPENDS '.npz' while Path.with_suffix REPLACES an existing
+    suffix — a dotted stem like 'cache.v1' used to save to 'cache.v1.npz'
+    but load from 'cache.npz'.  One suffix rule for both sides."""
+    s = str(path)
+    base = s[:-4] if s.endswith(".npz") else s
+    return Path(base + ".npz"), Path(base + ".json")
+
+
 def save_feature_cache(path, x: np.ndarray, y: np.ndarray,
                        speaker_id_dict: Dict[str, str]) -> None:
     """experiment_feature.npz + speaker_id_dict.json equivalents."""
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, x=x, y=y)
-    path.with_suffix(".json").write_text(json.dumps(speaker_id_dict))
+    npz, js = _cache_paths(path)
+    npz.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(npz, x=x, y=y)
+    js.write_text(json.dumps(speaker_id_dict))
 
 
 def load_feature_cache(path):
-    path = Path(path)
-    data = np.load(path.with_suffix(".npz") if path.suffix != ".npz" else path)
-    sid = json.loads(path.with_suffix(".json").read_text())
+    npz, js = _cache_paths(path)
+    data = np.load(npz)
+    sid = json.loads(js.read_text())
     return data["x"], data["y"], sid

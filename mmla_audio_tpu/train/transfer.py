@@ -34,7 +34,7 @@ import numpy as np
 import optax
 
 from mmla_audio_tpu.core.config import SpeakerModelConfig, TransferConfig
-from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM, l2_penalty
 from mmla_audio_tpu.train.losses import keras_categorical_crossentropy
 from mmla_audio_tpu.train.optimizers import rmsprop
 
@@ -102,7 +102,12 @@ class TransferLearner:
         logits = self._apply(variables, x)
         per_ex = keras_categorical_crossentropy(logits, y, activation="sigmoid")
         denom = jnp.maximum(jnp.sum(mask), 1.0)
-        return jnp.sum(per_ex * mask) / denom
+        # slicing a Keras model keeps the trunk's kernel_regularizers, so the
+        # reference's fine-tune loss still carries the stage-1/2 L2 penalty
+        # (speaker_identification.py:176-187 via transfer_learning :401-447);
+        # phase-1 trunk grads are zeroed regardless, phase-2's follow it
+        return jnp.sum(per_ex * mask) / denom + l2_penalty(params,
+                                                           self.model_cfg)
 
     # -- scanned fit ------------------------------------------------------------
     def _phase(self, params, batch_stats, tx, opt_state, x, y, mask, rng,

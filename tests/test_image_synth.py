@@ -105,5 +105,23 @@ def test_synthesize_corpus_plan(tmp_path):
                              clips_per_speaker=3, out_dir=tmp_path)
     assert len(plan) == 12
     assert all(e.label == 2 for e in plan)
-    assert all(len(e.speaker_ids) == 2 for e in plan)   # all i < 3150
+    # non-6300 corpora follow the 50/30/15/5% schedule proportionally
+    # (absolute reference thresholds would make a small corpus all-2-speaker)
+    counts = [len(e.speaker_ids) for e in plan]
+    assert counts == [2] * 6 + [3] * 4 + [4] * 1 + [5] * 1
     assert len(list(tmp_path.glob("Overlap*.wav"))) == 12
+
+
+def test_speaker_count_reference_thresholds():
+    """At the reference's 6300 mixtures the absolute thresholds hold exactly
+    (data_augmentation.py:45-52)."""
+    from mmla_audio_tpu.data.synth import speaker_count_for_index
+
+    assert speaker_count_for_index(0) == 2
+    assert speaker_count_for_index(3149) == 2
+    assert speaker_count_for_index(3150) == 3
+    assert speaker_count_for_index(5039) == 3
+    assert speaker_count_for_index(5040) == 4
+    assert speaker_count_for_index(5984) == 4
+    assert speaker_count_for_index(5985) == 5
+    assert speaker_count_for_index(6299) == 5

@@ -32,12 +32,17 @@ def _parse_ts(ts: str) -> datetime:
     return datetime.strptime(ts[:19], "%Y-%m-%d %H:%M:%S")
 
 
+_EDGE_STRIDE_S = 2.56   # edge logs carry no timestamps; one row per window
+
+
 def compute_distribution(rows: Sequence[Tuple[int, str, str]],
                          labels: Sequence[str] | None = None):
     """-> (labels, counts, seconds, per-segment label indices, offsets_sec).
 
     Label share of time = count share x (last_ts - first_ts), exactly the
-    reference's computation (`overlap_degree_distribution.py:42-65`)."""
+    reference's computation (`overlap_degree_distribution.py:42-65`).
+    Handles empty logs (header only — short recordings) and the edge
+    sessions' timestamp-free rows (synthetic 2.56 s-stride offsets)."""
     if labels is None:
         labels = []
         for _, lab, _ in rows:
@@ -45,18 +50,26 @@ def compute_distribution(rows: Sequence[Tuple[int, str, str]],
                 labels.append(lab)
     labels = list(labels)
     counts: Dict[str, int] = {lab: 0 for lab in labels}
-    start = _parse_ts(rows[0][2])
-    end = _parse_ts(rows[-1][2])
-    total_seconds = (end - start).total_seconds()
+    if not rows:
+        return labels, [0 for _ in labels], [0 for _ in labels], [], []
+    if rows[0][2]:
+        start = _parse_ts(rows[0][2])
+        end = _parse_ts(rows[-1][2])
+        total_seconds = (end - start).total_seconds()
+    else:
+        # timestamp-free edge log (SI record_on_pi.py:226-251 schema)
+        start = None
+        total_seconds = _EDGE_STRIDE_S * max(len(rows) - 1, 0)
     seg_idx: List[int] = []
     offsets: List[float] = []
-    for _, lab, ts in rows:
+    for i, (_, lab, ts) in enumerate(rows):
         if lab not in counts:
             labels.append(lab)
             counts[lab] = 0
         counts[lab] += 1
         seg_idx.append(labels.index(lab))
-        offsets.append((_parse_ts(ts) - start).total_seconds())
+        offsets.append((_parse_ts(ts) - start).total_seconds()
+                       if start is not None else i * _EDGE_STRIDE_S)
     n = sum(counts.values())
     seconds = [int(round(counts[lab] / n, 4) * total_seconds) for lab in labels]
     return labels, [counts[lab] for lab in labels], seconds, seg_idx, offsets

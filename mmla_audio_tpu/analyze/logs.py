@@ -39,10 +39,14 @@ class SessionLog:
         if not timestamps:
             self.header = self.header.rsplit("\t", 1)[0]
         self.index = start_index
-        self._wrote_header = False
         self.path.parent.mkdir(parents=True, exist_ok=True)
         if overwrite and self.path.exists():
             self.path.unlink()
+        # appending to an existing non-empty log (e.g. two sessions started
+        # within the same wall-clock second share a stamp) must not emit a
+        # second header mid-file — parse_log would crash on it
+        self._wrote_header = (self.path.exists()
+                              and self.path.stat().st_size > 0)
 
     @classmethod
     def resume(cls, path, kind: str = "overlap") -> "SessionLog":

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -118,8 +117,8 @@ def cmd_overlap_live(args):
     else:
         sess = OverlapSession(pred, cap, args.root, cfg=cfg,
                               save_recordings=args.save_recordings)
-    print("[INFO] calibrating ambient noise "
-          f"({cfg.audio.noise_profile_seconds:.0f}s)...")
+    cal_s = args.calibrate_seconds or cfg.audio.noise_profile_seconds
+    print(f"[INFO] calibrating ambient noise ({cal_s:.0f}s)...")
     sess.calibrate(args.calibrate_seconds)
     print("[INFO] model loaded: start predicting...")
 
@@ -142,9 +141,11 @@ def cmd_speaker_live(args):
     if getattr(args, "edge", False):
         # Pi-variant: gate-driven capture, AOT identify loop, timestamp-free
         # log (SI record_on_pi.py)
-        sess = EdgeSpeakerSession(pred, cap, args.root, cfg=cfg)
+        sess = EdgeSpeakerSession(pred, cap, args.root, cfg=cfg,
+                                  save_recordings=args.save_recordings)
     else:
-        sess = SpeakerSession(pred, cap, args.root, cfg=cfg)
+        sess = SpeakerSession(pred, cap, args.root, cfg=cfg,
+                              save_recordings=args.save_recordings)
     print("[INFO] calibrating ambient noise...")
     sess.calibrate(args.calibrate_seconds)
 
@@ -222,14 +223,18 @@ def cmd_overlap_run(args):
     from mmla_audio_tpu.export import aot_compile, parity_check
     from mmla_audio_tpu.utils.timers import StageTimer
 
+    if not args.file and not args.dir:
+        raise SystemExit("overlap-run: pass -f FILE or --dir DIR")
     cfg = PipelineConfig()
+    paths = [Path(args.file)] if args.file else \
+        sorted(Path(args.dir).glob("*.wav"))
+    if not paths:
+        raise SystemExit(f"overlap-run: no .wav files under {args.dir}")
     timer = StageTimer()
     with timer.stage("model_load"):
         pred = _predictor_overlap(
             args.ckpt, cfg, matmul_precision=_matmul_precision(args))
 
-    paths = [Path(args.file)] if args.file else \
-        sorted(Path(args.dir).glob("*.wav"))
     bufs, counts = [], []
     with timer.stage("wav_load"):
         for p in paths:
@@ -292,7 +297,6 @@ def cmd_overlap_train(args):
     from mmla_audio_tpu.core.config import OverlapTrainConfig
     from mmla_audio_tpu.data.wavio import read_wav
     from mmla_audio_tpu.ops.features import overlap_model_input
-    from mmla_audio_tpu.train.checkpoints import save_variables
     from mmla_audio_tpu.train.overlap_trainer import OverlapTrainer
 
     xs, ys = [], []

@@ -206,3 +206,36 @@ def test_speaker_post_analyze_dict_fallback_and_no_noise(tmp_path):
     assert len(speech_rows) == 3
     assert all(r[1] in ("alice", "1", "2", "3", "silent")
                for r in speech_rows)
+
+
+def test_charts_handle_empty_and_timestamp_free_logs(tmp_path):
+    """Header-only logs (short recordings) and the edge sessions'
+    timestamp-free schema must chart without crashing."""
+    from mmla_audio_tpu.analyze.charts import visualize_log
+    from mmla_audio_tpu.analyze.logs import SessionLog
+
+    empty = SessionLog(tmp_path / "empty.txt", kind="overlap")
+    empty.ensure_header()
+    out = visualize_log(tmp_path / "empty.txt", tmp_path / "charts")
+    assert "<svg" in out.read_text()
+
+    edge = SessionLog(tmp_path / "edge.txt", kind="speaker", timestamps=False)
+    edge.append("alice")
+    edge.append("silent")
+    edge.append("alice")
+    out = visualize_log(tmp_path / "edge.txt", tmp_path / "charts",
+                        kind="speaker")
+    assert "alice" in out.read_text()
+
+
+def test_session_log_no_double_header(tmp_path):
+    """A second SessionLog on an existing non-empty file (same-second stamp
+    collision) appends rows, not a second header."""
+    from mmla_audio_tpu.analyze.logs import SessionLog, parse_log
+
+    a = SessionLog(tmp_path / "s.txt", kind="overlap", start_index=1)
+    a.append("overlapped")
+    b = SessionLog(tmp_path / "s.txt", kind="overlap", start_index=2)
+    b.append("silent")
+    rows = parse_log(tmp_path / "s.txt")
+    assert [(r[0], r[1]) for r in rows] == [(1, "overlapped"), (2, "silent")]

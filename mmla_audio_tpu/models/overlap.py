@@ -19,6 +19,15 @@ Returns logits; apply ``jax.nn.softmax`` (or use the Keras-CCE losses in
 from __future__ import annotations
 
 import flax.linen as nn
+import functools
+
+# Keras Conv/Dense defaults: glorot_uniform kernels (Flax defaults to
+# lecun_normal) — from-scratch training must start from the reference's
+# weight distribution (layers.LSTM already replicates the Keras LSTM inits)
+_KerasConv = functools.partial(
+    nn.Conv, kernel_init=nn.initializers.glorot_uniform())
+_KerasDense = functools.partial(
+    nn.Dense, kernel_init=nn.initializers.glorot_uniform())
 import jax
 import jax.numpy as jnp
 
@@ -40,14 +49,14 @@ class ResBlock2D(nn.Module):
     def __call__(self, x, train: bool = False):
         res = x
         if self.pool:
-            res = nn.Conv(self.filters, (1, 1), strides=(2, 2), padding="SAME",
+            res = _KerasConv(self.filters, (1, 1), strides=(2, 2), padding="SAME",
                           name="shortcut")(res)
         out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(x, train)
         out = nn.elu(out)
-        out = nn.Conv(self.filters, (3, 3), padding="SAME")(out)
+        out = _KerasConv(self.filters, (3, 3), padding="SAME")(out)
         out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(out, train)
         out = nn.elu(out)
-        out = nn.Conv(self.filters, (4, 1), padding="SAME")(out)
+        out = _KerasConv(self.filters, (4, 1), padding="SAME")(out)
         if self.pool:
             out = nn.max_pool(out, (2, 2), strides=(2, 2), padding="SAME")
         return res + out
@@ -57,11 +66,11 @@ class OverlapResBLSTM(nn.Module):
     cfg: OverlapModelConfig = OverlapModelConfig()
 
     @nn.compact
-    def __call__(self, x, train: bool = False, rngs_dropout: bool = False):
+    def __call__(self, x, train: bool = False):
         cfg = self.cfg
         if cfg.input_scale != 1.0:
             x = x * cfg.input_scale
-        net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME", name="stem")(x)
+        net = _KerasConv(cfg.stem_filters, (1, 1), padding="SAME", name="stem")(x)
         for stage, f in enumerate(cfg.stage_filters):
             for block in range(cfg.blocks_per_stage):
                 net = ResBlock2D(f, pool=(block == 0),
@@ -72,7 +81,7 @@ class OverlapResBLSTM(nn.Module):
         net = BiLSTM(cfg.lstm_units)(net)              # (B, 512)
         net = nn.Dropout(cfg.dropout, deterministic=not train)(net)
         net = leaky_relu(net)
-        logits = nn.Dense(cfg.num_classes, name="head")(net)
+        logits = _KerasDense(cfg.num_classes, name="head")(net)
         return logits
 
     def init_variables(self, rng, batch: int = 1,

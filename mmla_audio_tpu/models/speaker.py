@@ -23,6 +23,15 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import functools
+
+# Keras Conv/Dense defaults: glorot_uniform kernels (Flax defaults to
+# lecun_normal) — from-scratch training must start from the reference's
+# weight distribution (layers.LSTM already replicates the Keras LSTM inits)
+_KerasConv = functools.partial(
+    nn.Conv, kernel_init=nn.initializers.glorot_uniform())
+_KerasDense = functools.partial(
+    nn.Dense, kernel_init=nn.initializers.glorot_uniform())
 import jax
 import jax.numpy as jnp
 
@@ -48,14 +57,14 @@ class ResUnit1D(nn.Module):
         res = x
         if self.pool:
             x = nn.max_pool(x, (2,), strides=(2,), padding="SAME")
-            res = nn.Conv(self.filters, (1,), strides=(2,), padding="SAME",
+            res = _KerasConv(self.filters, (1,), strides=(2,), padding="SAME",
                           name="shortcut")(res)
         out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(x, train)
         out = nn.relu(out)
-        out = nn.Conv(self.filters, (3,), padding="SAME", name="conv_a")(out)
+        out = _KerasConv(self.filters, (3,), padding="SAME", name="conv_a")(out)
         out = KerasBatchNorm(self.bn_momentum, self.bn_eps)(out, train)
         out = nn.relu(out)
-        out = nn.Conv(self.filters, (3,), padding="SAME", name="conv_b")(out)
+        out = _KerasConv(self.filters, (3,), padding="SAME", name="conv_b")(out)
         return res + out
 
 
@@ -68,7 +77,7 @@ class SpeakerTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.cfg
-        net = nn.Conv(cfg.stem_filters, (cfg.stem_kernel,), padding="SAME",
+        net = _KerasConv(cfg.stem_filters, (cfg.stem_kernel,), padding="SAME",
                       name="stem")(x)
         # L2 on the inner convs of non-pooled units (stages 1/2) is applied in
         # the loss by ``l2_penalty`` below — Keras regularizers live in the
@@ -101,7 +110,7 @@ class SpeakerResBLSTM(nn.Module):
     def __call__(self, x, train: bool = False):
         units = self.head_units or self.cfg.num_speakers
         net = SpeakerTrunk(self.cfg, name="trunk")(x, train)
-        return nn.Dense(units, name="head")(net)
+        return _KerasDense(units, name="head")(net)
 
     def init_variables(self, rng, batch: int = 1, input_shape=(256, 39)):
         dummy = jnp.zeros((batch,) + tuple(input_shape), jnp.float32)

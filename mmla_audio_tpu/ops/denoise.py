@@ -33,7 +33,17 @@ import numpy as np
 from mmla_audio_tpu.core.config import DenoiseConfig
 from mmla_audio_tpu.ops.spectral import frame_signal, hann_periodic
 
-__all__ = ["amp_to_db", "noise_threshold", "reduce_noise", "smoothing_filter"]
+__all__ = ["quantize_i16", "amp_to_db", "noise_threshold", "reduce_noise", "smoothing_filter"]
+
+
+def quantize_i16(y):
+    """PCM16 WAV round-trip: scale, round, clip — the reference writes the
+    denoised window to disk and re-reads it as int16 (soundfile float->PCM16
+    semantics, verified empirically).  THE one encoding of this rule; the
+    streaming layer imports it rather than restating it."""
+    import jax.numpy as jnp
+
+    return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
 
 _PAD = 30_000  # noisereduce chunk padding
 
@@ -181,7 +191,11 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         sm = jax.lax.conv_general_dilated(
             m4, jnp.flip(k4, axis=(-1, -2)),              # convolution, not corr
             window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            # feature-parity contraction: the smoothed mask multiplies the
+            # STFT that every downstream feature consumes — TPU's default
+            # single bf16 MXU pass would diverge from the CPU golden
+            precision=jax.lax.Precision.HIGHEST)
         mask = jnp.swapaxes(sm.reshape(batch + m.shape[-2:]), -1, -2)
         re = re * mask
         im = im * mask

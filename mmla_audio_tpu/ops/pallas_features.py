@@ -61,7 +61,8 @@ def _kernel(fr_ref, fe_ref, cos_ref, sin_ref, mel_ref, out_ref,
     snapped = jnp.where(jnp.abs(z) <= 1e-10, 0.0, z)
     neg = jnp.signbit(snapped)
     crossings = (neg[:, 1:] != neg[:, :-1]).astype(jnp.float32)
-    zcr = jnp.sum(crossings, axis=1) / (win - 1)    # (T,)
+    # librosa pads the indicator back to win samples: divide by win, not win-1
+    zcr = jnp.sum(crossings, axis=1) / win          # (T,)
 
     def q(x):
         return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0)

@@ -246,4 +246,8 @@ def zero_crossing_rate(y: jnp.ndarray, frame_length: int, hop_length: int,
     snapped = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
     negative = jnp.signbit(snapped)
     crossings = negative[..., 1:] != negative[..., :-1]
-    return jnp.mean(crossings.astype(jnp.float32), axis=-1)
+    # librosa.zero_crossings pads the indicator back to frame_length
+    # (constant False under feature.zero_crossing_rate's pad=False), so the
+    # mean divides by frame_length, NOT the frame_length-1 diff count —
+    # count/400 vs count/399 shifts the uint8-quantized R channel by one.
+    return jnp.sum(crossings.astype(jnp.float32), axis=-1) / frame_length

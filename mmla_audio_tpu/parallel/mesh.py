@@ -24,10 +24,14 @@ __all__ = ["make_mesh", "replicated", "batch_sharding", "shard_batch",
            "replicate_tree", "DataParallel"]
 
 
-def make_mesh(n_data: int = -1, n_model: int = 1,
+def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
               cfg: MeshConfig = MeshConfig(),
               devices: Optional[Sequence] = None) -> Mesh:
+    """Explicit ``n_data``/``n_model`` win; otherwise the cfg's
+    data_parallel/model_parallel fields apply (-1 = all devices)."""
     devices = list(devices if devices is not None else jax.devices())
+    n_model = cfg.model_parallel if n_model is None else n_model
+    n_data = cfg.data_parallel if n_data is None else n_data
     if n_data == -1:
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (
@@ -40,8 +44,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    # the batch axis is the mesh's FIRST axis by construction (make_mesh);
+    # a hardcoded "data" literal broke meshes with a renamed data_axis
+    return NamedSharding(mesh, P(axis if axis is not None
+                                 else mesh.axis_names[0]))
 
 
 def shard_batch(x, mesh: Mesh):

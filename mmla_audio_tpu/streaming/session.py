@@ -33,7 +33,8 @@ import numpy as np
 from mmla_audio_tpu.analyze.logs import OVERLAP_LABELS, SessionLog
 from mmla_audio_tpu.core.config import PipelineConfig
 from mmla_audio_tpu.data.wavio import write_wav
-from mmla_audio_tpu.ops.denoise import noise_threshold, reduce_noise
+from mmla_audio_tpu.ops.denoise import (noise_threshold,
+                                        quantize_i16, reduce_noise)
 from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature
 from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
 from mmla_audio_tpu.vad import calibrate_threshold, energy_vad, vad_trim
@@ -53,10 +54,8 @@ def session_stamp(now: Optional[datetime] = None) -> str:
     return s.replace(" ", "-").replace(":", "-")
 
 
-def _quantize_i16(y: jnp.ndarray) -> jnp.ndarray:
-    """soundfile float->PCM16 write: scale, round, clip (the reference writes
-    the denoised window to WAV and re-reads it as int16)."""
-    return jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
+# canonical PCM16 round-trip lives with the denoise semantics it serves
+_quantize_i16 = quantize_i16
 
 
 def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,

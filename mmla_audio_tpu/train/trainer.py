@@ -201,14 +201,15 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_data = mesh.shape["data"]
+            data_axis = mesh.axis_names[0]   # batch axis by construction
+            n_data = mesh.shape[data_axis]
             assert batch_size % n_data == 0, (batch_size, n_data)
             rep = NamedSharding(mesh, P())
             state = jax.device_put(state, rep)
             # the scan reshapes to (n_batches, batch, ...): shard dim 1
-            xp = jax.device_put(xp, NamedSharding(mesh, P("data")))
-            yp = jax.device_put(yp, NamedSharding(mesh, P("data")))
-            maskp = jax.device_put(maskp, NamedSharding(mesh, P("data")))
+            xp = jax.device_put(xp, NamedSharding(mesh, P(data_axis)))
+            yp = jax.device_put(yp, NamedSharding(mesh, P(data_axis)))
+            maskp = jax.device_put(maskp, NamedSharding(mesh, P(data_axis)))
         history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
         best_val = np.inf
         patience_left = early_stop_patience

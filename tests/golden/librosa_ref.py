@@ -102,7 +102,7 @@ def power_to_db(S, ref=np.max, amin=1e-10, top_db=80.0):
     return log_spec
 
 
-def zero_crossings(y, threshold=1e-10, zero_pos=True, axis=-1):
+def zero_crossings(y, threshold=1e-10, zero_pos=True, pad=False, axis=-1):
     if threshold > 0:
         y = y.copy()
         y[np.abs(y) <= threshold] = 0
@@ -111,7 +111,13 @@ def zero_crossings(y, threshold=1e-10, zero_pos=True, axis=-1):
     slice_post = [slice(None)] * y.ndim
     slice_pre[axis] = slice(1, None)
     slice_post[axis] = slice(None, -1)
-    return y_sign[tuple(slice_pre)] != y_sign[tuple(slice_post)]
+    crossings = y_sign[tuple(slice_pre)] != y_sign[tuple(slice_post)]
+    # librosa pads the indicator array back to the input length along axis
+    # (np.pad constant_values=pad) — feature.zero_crossing_rate's mean
+    # therefore divides by frame_length, not frame_length-1
+    padding = [(0, 0)] * y.ndim
+    padding[axis] = (1, 0)
+    return np.pad(crossings, padding, mode="constant", constant_values=pad)
 
 
 def zero_crossing_rate(y, frame_length, hop_length, center=True):

@@ -89,18 +89,29 @@ class OverlapPredictor:
                  model_cfg: OverlapModelConfig = OverlapModelConfig(),
                  feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig(),
                  compute_dtype=None, use_pallas: bool = False,
-                 matmul_precision: str | None = None):
+                 matmul_precision: str | None = None,
+                 silent_threshold: int = 4000):
         """``compute_dtype=jnp.bfloat16`` runs the model forward in bf16
         (params cast at trace time; DSP stays f32 for feature parity) —
         ~1.4x faster on TPU.  ``use_pallas`` swaps the featurizer for the
         fused VMEM kernel.  ``matmul_precision="highest"`` forces full-f32
         GEMM/conv accumulation in the model trunk (TPU's default is one bf16
         MXU pass) for bit-stable TPU<->CPU labels; see
-        benchmarks/tpu_cpu_parity.py for the measured agreement/cost."""
+        benchmarks/tpu_cpu_parity.py for the measured agreement/cost.
+        ``silent_threshold``: post-VAD sample count below which the window
+        is SILENT (`record_on_pc.py:142`); pass ``cfg.vad.silent_samples``
+        to mirror a tuned session gate."""
+        if use_pallas and (not feat_cfg.png_quantize or not feat_cfg.flip_mel_axis):
+            # the fused kernel hardcodes the PNG quantize + row flip; a cfg
+            # that disables them would silently diverge between the paths
+            raise ValueError(
+                "use_pallas requires png_quantize=True and flip_mel_axis="
+                "True (the kernel hardcodes both); use the jnp featurizer "
+                "for non-default feature configs")
         self.model = OverlapResBLSTM(model_cfg)
         self.variables = variables
         self.feat_cfg = feat_cfg
-        self.silent_threshold = 4000
+        self.silent_threshold = silent_threshold
         self.compute_dtype = compute_dtype
         self.use_pallas = use_pallas
         self.matmul_precision = matmul_precision

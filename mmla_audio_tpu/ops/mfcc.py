@@ -37,14 +37,13 @@ __all__ = [
 ]
 
 
-@functools.lru_cache(maxsize=None)
 def _rdft_basis(n_fft: int, win_length: int):
-    """Unwindowed real-DFT basis ``(win_length, 2 * (n_fft//2 + 1))`` columns
-    [cos | -sin] — python_speech_features uses a rectangular window."""
-    k = np.arange(n_fft // 2 + 1)
-    t = np.arange(win_length)
-    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
-    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+    """Unwindowed real-DFT basis — python_speech_features uses a rectangular
+    window.  One basis construction for the whole package: delegates to
+    ``spectral._dft_basis(windowed=False)``."""
+    from mmla_audio_tpu.ops.spectral import _dft_basis
+
+    return _dft_basis(n_fft, win_length, windowed=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,7 +133,10 @@ def mfcc13(sig: jnp.ndarray, *, sample_rate: int = 16_000, win_length: int = 400
     powspec = (re * re + im * im) / n_fft                         # (..., T, bins)
 
     energy = jnp.sum(powspec, axis=-1)                            # (..., T)
-    eps = jnp.finfo(jnp.float32).eps
+    # psf clamps zeros with FLOAT64 eps (2.22e-16 -> log = -36.04); the f32
+    # eps (1.19e-7 -> -15.94) would shift silence frames by ~20 and bleed
+    # into neighboring deltas.  2.22e-16 is exactly representable in f32.
+    eps = float(np.finfo(np.float64).eps)
     energy = jnp.where(energy == 0, eps, energy)
 
     fb = jnp.asarray(_psf_filterbank(n_filt, n_fft, sample_rate))
@@ -174,7 +176,10 @@ def delta(feat: jnp.ndarray, N: int = 2,
     rows = jnp.take(feat, idx.reshape(-1), axis=-2)               # (..., T*(2N+1), C)
     rows = rows.reshape(feat.shape[:-2] + (T, offsets.size, feat.shape[-1]))
     w = jnp.asarray(offsets, jnp.float32)
-    return jnp.einsum("k,...tkc->...tc", w, rows) / denom
+    # feature-parity contraction: HIGHEST like every other GEMM here (the
+    # TPU default single bf16 pass would drift 26 of the 39 feature dims)
+    return jnp.einsum("k,...tkc->...tc", w, rows,
+                      precision=jax.lax.Precision.HIGHEST) / denom
 
 
 def mfcc39(sig: jnp.ndarray, *, n_frames: int | None = None,

@@ -139,9 +139,13 @@ def bench_registration():
     learner.fit_once(x, y, seed=0)
     t_first = time.perf_counter() - t0
     _log(f"first attempt {t_first:.1f} s; steady ...")
-    t0 = time.perf_counter()
-    _, acc, _ = learner.fit_once(x, y, seed=1)
-    t_steady = time.perf_counter() - t0
+    # best of 2: host/tunnel jitter can inflate a single attempt ~2x
+    times = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        _, acc, _ = learner.fit_once(x, y, seed=1 + rep)
+        times.append(time.perf_counter() - t0)
+    t_steady = min(times)
     _log(f"steady attempt {t_steady:.2f} s (acc {float(acc):.3f})")
     return t_steady, t_first
 

@@ -32,6 +32,12 @@ def _istft(S, n_fft=1024, hop=256, length=None):
     y = y / np.maximum(wsq, 1e-10)
     y = y[n_fft // 2:]
     if length is not None:
+        # Documented deviation from upstream (shared with ops/denoise): real
+        # noisereduce calls librosa.istft without `length`, yielding exactly
+        # (T-1)*hop samples and leaving the final len%hop output samples at
+        # zero; both this golden and the implementation reconstruct them.
+        # Unobservable in the product: the reference call path always uses
+        # the 30 000-sample chunk padding, which swallows the region.
         y = y[:length]
     return y
 

@@ -17,10 +17,17 @@ def preemphasis(signal, coeff=0.97):
     return np.append(signal[0], signal[1:] - coeff * signal[:-1])
 
 
+def _round_half_up(x):
+    # psf rounds frame geometry with decimal ROUND_HALF_UP, not Python's
+    # banker's rounding: round(220.5) == 220 but psf takes 221.  Exact at
+    # the repo's 16 kHz (400.0/160.0), but the golden restates upstream.
+    return int(math.floor(float(x) + 0.5))
+
+
 def framesig(sig, frame_len, frame_step):
     slen = len(sig)
-    frame_len = int(round(frame_len))
-    frame_step = int(round(frame_step))
+    frame_len = _round_half_up(frame_len)
+    frame_step = _round_half_up(frame_step)
     if slen <= frame_len:
         numframes = 1
     else:

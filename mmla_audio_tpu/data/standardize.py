@@ -69,8 +69,12 @@ def standardize_audio(y: np.ndarray, sr: int, *, target_sr: int = 16_000,
         yf = y.astype(np.float32)
     yf = resample(yf, sr, target_sr).astype(np.float32)
 
-    if dbfs is not None and dbfs != 0:
-        # pydub operates on int16-scale values
+    gain_db = 0.0
+    if dbfs is not None:
+        # pydub operates on int16-scale values.  (None disables; an explicit
+        # 0 dBFS target is a legitimate full-scale normalization.)
+        rms = float(np.sqrt(np.mean(np.square(yf * 32768.0)))) or 1.0
+        gain_db = dbfs - 20.0 * np.log10(rms / 32768.0)
         yf = (apply_gain_dbfs(yf * 32768.0, dbfs) / 32768.0).astype(np.float32)
 
     if noise is not None and noise_passes > 0:
@@ -87,8 +91,12 @@ def standardize_audio(y: np.ndarray, sr: int, *, target_sr: int = 16_000,
             if noise is not None:
                 ni = noise if noise.dtype == np.int16 else \
                     (noise * 32768.0).astype(np.int16)
+                # the gated signal was gain-adjusted; shift the noise-derived
+                # threshold by the same gain or the energy scales disagree
+                # (a +20 dB quiet-recording boost would put the amplified
+                # noise floor above an un-shifted threshold)
                 vad_threshold_db = vadc.calibrate_threshold(
-                    ni, vad_cfg.aggressiveness)
+                    ni, vad_cfg.aggressiveness) + float(gain_db)
             else:
                 vad_threshold_db = 30.0
         frame_len = int(target_sr * vad_cfg.frame_ms / 1000)

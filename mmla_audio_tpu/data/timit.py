@@ -41,7 +41,16 @@ class TimitCatalog:
             for row in csv.DictReader(f):
                 rel = row.get("path_from_data_dir") or \
                     row.get("path_from_data_dir_windows", "").replace("\\", "/")
-                if not rel or not rel.upper().endswith((".WAV", ".WAV.WAV")):
+                if not rel:
+                    continue
+                conv = row.get("is_converted_audio", "").strip().upper()
+                if conv:
+                    # Kaggle CSV marks RIFF conversions; the NIST-sphere
+                    # originals (plain .WAV) are unreadable by wave.open
+                    if conv != "TRUE" or not rel.upper().endswith(".WAV"):
+                        continue
+                elif not rel.upper().endswith(".WAV.WAV"):
+                    # no flag column: only the .WAV.wav conversions are RIFF
                     continue
                 entries.append((row["speaker_id"], data_dir / rel))
         return cls(entries)

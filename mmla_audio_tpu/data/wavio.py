@@ -27,9 +27,16 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     same with ReSpeaker 2-channel capture, record_on_pi.py:85-90)."""
     with wave.open(str(path), "rb") as wf:
         n_ch = wf.getnchannels()
-        assert wf.getsampwidth() == 2, "16-bit PCM required"
+        # explicit raises, not asserts: validation must survive python -O
+        # (the reference's read_wave_file asserts the same properties,
+        # record_on_pc.py:188-197, but garbage-parsing a 24-bit file here
+        # would silently corrupt every downstream feature)
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"{path}: 16-bit PCM required "
+                             f"(sampwidth={wf.getsampwidth()})")
         rate = wf.getframerate()
-        assert rate in VALID_RATES, f"unsupported rate {rate}"
+        if rate not in VALID_RATES:
+            raise ValueError(f"{path}: unsupported rate {rate}")
         raw = wf.readframes(wf.getnframes())
     data = np.frombuffer(raw, dtype=np.int16)
     if n_ch > 1:
@@ -45,6 +52,12 @@ def read_wav_float(path) -> tuple[np.ndarray, int]:
 
 def write_wav(path, samples: np.ndarray, sample_rate: int = 16000) -> None:
     """Write mono PCM16.  Accepts int16, or float in [-1, 1] (scaled)."""
+    samples = np.asarray(samples)
+    if samples.ndim != 1:
+        # a (N, C) array would be written interleaved under nchannels=1 —
+        # silently corrupt; mirror read_wav's mono contract
+        raise ValueError(f"write_wav expects mono 1-D samples, "
+                         f"got shape {samples.shape}")
     if samples.dtype != np.int16:
         samples = np.clip(samples, -1.0, 1.0)
         samples = (samples * 32767.0).astype(np.int16)

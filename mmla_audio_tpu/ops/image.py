@@ -57,14 +57,18 @@ def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
 
 def pyramid_augment(images: jnp.ndarray, depth: int) -> jnp.ndarray:
     """``depth`` rounds of pyrDown+pyrUp (the reference's `for j in range(i+1)`
-    ladder), then drop the last column (151 -> 76 -> 152 -> crop)."""
+    ladder), then drop the last column — EXACTLY `augment_images`
+    (`overlap_detector.py:209-214`): the 151-wide image becomes 152 after the
+    first round and the reference pyrDowns that 152-wide intermediate on
+    later rounds (no per-round crop); only the FINAL ``src[:, :-1]`` trims
+    the pyrUp rounding column, returning to the original width.  (An earlier
+    version cropped each round and re-padded a duplicate column — every
+    augmented image differed from the reference in its last column.)"""
     x = images
-    w0 = images.shape[-2]
     for _ in range(depth):
         x = pyr_up(pyr_down(x))
-        if x.shape[-2] > w0:
-            x = x[..., :, :w0, :]
-        # odd heights: pyrUp returns 2*ceil(H/2); crop back
+        # odd heights: pyrUp returns 2*ceil(H/2); crop back (width is NOT
+        # cropped mid-loop — the reference carries the rounded-up width)
         if x.shape[-3] > images.shape[-3]:
             x = x[..., : images.shape[-3], :, :]
     # reference crops one column from the final image ([:, :-1])

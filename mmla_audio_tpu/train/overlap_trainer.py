@@ -37,18 +37,30 @@ __all__ = ["stratified_kfold_indices", "augment_to_balance", "confusion_matrix",
 def stratified_kfold_indices(labels: np.ndarray, n_splits: int = 5,
                              seed: int = 0, fold: int = 0
                              ) -> Tuple[np.ndarray, np.ndarray]:
-    """sklearn StratifiedKFold(shuffle=True, random_state=0) semantics: per
-    class, shuffled indices dealt round-robin into folds; fold k is test.
-    The reference uses fold 0 only (`overlap_detector.py:274-275`)."""
+    """Literal transcription of sklearn StratifiedKFold(shuffle=True,
+    random_state=seed)._make_test_folds, so fold membership matches the
+    reference's split exactly (`overlap_detector.py:274-275`, fold 0):
+    classes are encoded by first appearance, per-fold allocation comes from
+    interleaving the SORTED label vector, and each class's fold vector is
+    shuffled with the shared RandomState in encoded-class order.  (An
+    earlier round-robin deal produced different memberships and piled every
+    class's remainder into the low folds.)"""
     rng = np.random.RandomState(seed)
-    labels = np.asarray(labels)
-    fold_of = np.empty(len(labels), np.int32)
-    for c in np.unique(labels):
-        idx = np.where(labels == c)[0]
-        rng.shuffle(idx)
-        for i, j in enumerate(idx):
-            fold_of[j] = i % n_splits
-    test_mask = fold_of == fold
+    y = np.asarray(labels)
+    _, y_idx, y_inv = np.unique(y, return_index=True, return_inverse=True)
+    _, class_perm = np.unique(y_idx, return_inverse=True)
+    y_encoded = class_perm[y_inv]
+    n_classes = len(y_idx)
+    y_order = np.sort(y_encoded)
+    allocation = np.asarray(
+        [np.bincount(y_order[i::n_splits], minlength=n_classes)
+         for i in range(n_splits)])
+    test_folds = np.empty(len(y), dtype=np.int32)
+    for k in range(n_classes):
+        folds_for_class = np.arange(n_splits).repeat(allocation[:, k])
+        rng.shuffle(folds_for_class)
+        test_folds[y_encoded == k] = folds_for_class
+    test_mask = test_folds == fold
     return np.where(~test_mask)[0], np.where(test_mask)[0]
 
 
@@ -59,10 +71,9 @@ def augment_to_balance(x: np.ndarray, y_onehot: np.ndarray, rng_seed: int = 0
     ``round(max_count / count - 1)`` times, copy i blurred through i+1
     pyrDown/pyrUp rounds.  Returns augmented (x, y) incl. originals.
 
-    The reference crops one column per augmented image; we keep the width by
-    re-padding the cropped column with the last column so all tensors stay
-    (128, 151, 3) for batching (the crop exists only because cv2.pyrUp
-    rounds odd sizes; the content shift is preserved)."""
+    For odd-width images the ladder rounds the width up (151 -> 152) and the
+    reference's final ``[:, :-1]`` crop lands back on the original width, so
+    augmented tensors batch with the originals unchanged."""
     counts = y_onehot.sum(axis=0)
     base = counts.max()
     xs = [x]
@@ -74,7 +85,6 @@ def augment_to_balance(x: np.ndarray, y_onehot: np.ndarray, rng_seed: int = 0
         cls = np.where(y_onehot[:, c] == 1)[0]
         for i in range(ratio):
             aug = np.asarray(pyramid_augment(jnp.asarray(x[cls]), i + 1))
-            aug = np.concatenate([aug, aug[..., :, -1:, :]], axis=-2)
             xs.append(aug.astype(x.dtype))
             ys.append(y_onehot[cls])
     return np.concatenate(xs), np.concatenate(ys)
@@ -137,8 +147,8 @@ class OverlapTrainer:
         best_val = np.inf
         patience = self.cfg.early_stop_patience
         rng = jax.random.PRNGKey(seed + 1)
-        n_epochs = epochs or self.cfg.epochs
-        bsz = batch_size or self.cfg.batch_size
+        n_epochs = self.cfg.epochs if epochs is None else epochs
+        bsz = self.cfg.batch_size if batch_size is None else batch_size
         # upload train/test once; per-epoch fit/evaluate then see device
         # arrays and skip the host->device transfer (matters through slow
         # links: the val re-upload alone was ~25 s/epoch on the dev tunnel)
@@ -171,16 +181,28 @@ class OverlapTrainer:
     def continue_train(self, checkpoint_dir, x, y_onehot, *,
                        weighted: bool = True, epochs: int = 10,
                        batch_size: Optional[int] = None, seed: int = 0):
-        """continue_train_model: restore variables, keep training."""
+        """continue_train_model (`overlap_detector.py:480-511`): restore
+        variables and keep training with the SAME callback set as the
+        initial run — EarlyStopping(val_loss, patience 10), cosine-annealed
+        LR (1e-2 -> 1e-4, T=100), val on an 80/20 stratified split of the
+        provided data (the reference's train_test_split(test_size=0.2,
+        random_state=0, stratify=y))."""
+        from mmla_audio_tpu.train.transfer import train_val_split
+
         weights = cal_weighted_penalty(y_onehot) if weighted else None
         trainer, sched = self._make_trainer(weights)
         template = self.model.init_variables(jax.random.PRNGKey(0),
                                              input_shape=x.shape[1:])
         variables = load_variables(checkpoint_dir, template)
         state = trainer.init_state(variables)
+        x_tr, y_tr, x_val, y_val = train_val_split(
+            np.asarray(x), np.asarray(y_onehot), val_ratio=0.2, seed=0)
         state, history = trainer.fit(
-            state, x, y_onehot, epochs=epochs,
-            batch_size=batch_size or self.cfg.batch_size,
+            state, x_tr, y_tr, epochs=epochs,
+            batch_size=self.cfg.batch_size if batch_size is None else batch_size,
+            x_val=x_val, y_val=y_val,
+            early_stop_patience=self.cfg.early_stop_patience,
+            lr_schedule_epoch=lambda e: float(sched(e)),
             rng=jax.random.PRNGKey(seed))
         self._trainer = trainer
         return state, history

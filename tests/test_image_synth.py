@@ -35,12 +35,15 @@ def test_pyr_up_matches_cv2():
 
 
 def test_pyramid_augment_matches_cv2_ladder():
+    """Exact reference ladder (`augment_images`, overlap_detector.py:209-214):
+    NO per-round width crop — the 152-wide pyrUp output feeds the next
+    round's pyrDown; only the final [:, :-1] trims the rounding column."""
     x = _img()
     for depth in (1, 2):
         ours = np.asarray(pyramid_augment(jnp.asarray(x)[None], depth))[0]
         src = x
         for _ in range(depth):
-            src = cv2.pyrUp(cv2.pyrDown(src))[:, :151]
+            src = cv2.pyrUp(cv2.pyrDown(src))
         ref = src[:, :-1]
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=5e-2)
@@ -49,7 +52,8 @@ def test_pyramid_augment_matches_cv2_ladder():
 def test_pyramid_augment_batched():
     xs = np.stack([_img(seed=s) for s in range(3)])
     out = np.asarray(pyramid_augment(jnp.asarray(xs), 1))
-    assert out.shape == (3, 128, 150, 3)
+    # 151 -> 152 (pyr round-up) -> final [:-1] lands back on 151
+    assert out.shape == (3, 128, 151, 3)
 
 
 def test_ssim_identical_is_one():

@@ -1,6 +1,7 @@
 """Overlap trainer orchestration: kfold, balancing, checkpoints, eval."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -119,3 +120,21 @@ def test_feature_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(x, x2)
     np.testing.assert_array_equal(y, y2)
     assert sid2 == sid
+
+
+def test_stratified_kfold_matches_sklearn_exactly():
+    """The split is a literal transcription of sklearn
+    StratifiedKFold(shuffle=True, random_state=0) — the reference's split
+    (`overlap_detector.py:274-275`) — so fold membership must match
+    sklearn index-for-index."""
+    sklearn = pytest.importorskip("sklearn.model_selection")
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        y = rng.randint(0, 3, rng.randint(30, 200))
+        skf = sklearn.StratifiedKFold(n_splits=5, shuffle=True,
+                                      random_state=0)
+        ref_train, ref_test = next(iter(skf.split(np.zeros((len(y), 1)), y)))
+        ours_train, ours_test = stratified_kfold_indices(y, 5, seed=0, fold=0)
+        np.testing.assert_array_equal(np.sort(ref_test), np.sort(ours_test))
+        np.testing.assert_array_equal(np.sort(ref_train),
+                                      np.sort(ours_train))

@@ -49,9 +49,14 @@ class TimitCatalog:
                     # originals (plain .WAV) are unreadable by wave.open
                     if conv != "TRUE" or not rel.upper().endswith(".WAV"):
                         continue
-                elif not rel.upper().endswith(".WAV.WAV"):
-                    # no flag column: only the .WAV.wav conversions are RIFF
-                    continue
+                else:
+                    if not rel.lower().endswith(".wav"):
+                        continue
+                    if rel.endswith(".WAV") and not rel.endswith(".wav"):
+                        # exact-case .WAV without the .wav re-extension is a
+                        # NIST sphere original in the Kaggle tree — it would
+                        # crash wave.open and double every utterance
+                        continue
                 entries.append((row["speaker_id"], data_dir / rel))
         return cls(entries)
 

@@ -66,3 +66,30 @@ def test_overlap_train_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "test accuracy" in out
     assert (tmp_path / "od_ckpt" / "metadata.json").exists()
+
+
+def test_catalog_excludes_nist_sphere_originals(tmp_path):
+    """Kaggle TIMIT lists both SA1.WAV (NIST sphere — crashes wave.open)
+    and SA1.WAV.wav (RIFF conversion); only the conversion must load.  The
+    is_converted_audio flag wins when present."""
+    d = tmp_path / "data"
+    d.mkdir()
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text(
+        "speaker_id,path_from_data_dir\n"
+        "SPK0,TRAIN/SA1.WAV\n"            # sphere original: excluded
+        "SPK0,TRAIN/SA1.WAV.wav\n"        # RIFF conversion: kept
+        "SPK1,TRAIN/SI2.wav\n"            # plain lowercase: kept
+        "SPK1,TRAIN/SI2.TXT\n")           # transcript: excluded
+    cat = TimitCatalog.from_labels_csv(csv_path, d)
+    rels = sorted(str(p.relative_to(d)) for _, p in cat.entries)
+    assert rels == ["TRAIN/SA1.WAV.wav", "TRAIN/SI2.wav"]
+
+    csv_flag = tmp_path / "labels_flag.csv"
+    csv_flag.write_text(
+        "speaker_id,path_from_data_dir,is_converted_audio\n"
+        "SPK0,TRAIN/SA1.WAV,FALSE\n"
+        "SPK0,TRAIN/SA1.WAV.wav,TRUE\n")
+    cat = TimitCatalog.from_labels_csv(csv_flag, d)
+    assert [str(p.relative_to(d)) for _, p in cat.entries] \
+        == ["TRAIN/SA1.WAV.wav"]

@@ -79,7 +79,7 @@ def test_python_reader_rejects_bad_rate(tmp_path):
         wf.setsampwidth(2)
         wf.setframerate(44100)               # not in the allowed set
         wf.writeframes(b"\x00\x00" * 100)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="unsupported rate"):
         read_wav(p)
 
 

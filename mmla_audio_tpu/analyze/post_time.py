@@ -118,6 +118,14 @@ def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
     vad_thr = (calibrate_threshold(noise, cfg.vad.aggressiveness)
                if noise is not None else 30.0)
     frame_len = int(sr * cfg.vad.frame_ms / 1000)
+    vad_box = None
+    if cfg.vad.decision == "webrtc":
+        # one long-lived detector across every segment of every file, in
+        # processing order — the reference's module-level Vad(3) shared by
+        # the whole post-time run (record_on_pc.py:33)
+        from mmla_audio_tpu.vad.webrtc import VadBox
+
+        vad_box = VadBox(cfg.vad.aggressiveness)
 
     for f in sorted(dirs.post_whole.glob("*.wav")):
         std = _standardize_file(f, dirs, noise, cfg.denoise.passes_post, cfg)
@@ -131,15 +139,37 @@ def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
         silent = set()
         T = frame_count(segs.shape[1], frame_len) if len(segs) else 0
         if len(segs) and T > 0:
-            frames = segs[:, : T * frame_len].astype(np.float32) \
-                .reshape(len(segs), T, frame_len)
+            if vad_box is not None:
+                # segment decisions are state-sequential (the detector
+                # adapts across segments): lax.scan threads the webrtc
+                # state through the conversation in order, one device
+                # program per file; the final state carries to the next file
+                from mmla_audio_tpu.vad.webrtc import webrtc_vad_frames
 
-            def _kept_frames(fr):
-                dec = energy_vad(fr, vad_thr)
-                return collect_mask(dec, ring=cfg.vad.ring_frames).sum()
+                seg_i32 = jnp.asarray(
+                    segs[:, : T * frame_len].astype(np.int32))
 
-            kept = np.asarray(jax.jit(jax.vmap(_kept_frames))(
-                jnp.asarray(frames)))
+                def _seg_step(st, seg):
+                    dec, st = webrtc_vad_frames(
+                        seg, st, mode=cfg.vad.aggressiveness,
+                        frame_len=frame_len)
+                    return st, collect_mask(
+                        dec, ring=cfg.vad.ring_frames).sum()
+
+                vad_box.state, kept = jax.jit(
+                    lambda st, s: jax.lax.scan(_seg_step, st, s))(
+                    vad_box.state, seg_i32)
+                kept = np.asarray(kept)
+            else:
+                frames = segs[:, : T * frame_len].astype(np.float32) \
+                    .reshape(len(segs), T, frame_len)
+
+                def _kept_frames(fr):
+                    dec = energy_vad(fr, vad_thr)
+                    return collect_mask(dec, ring=cfg.vad.ring_frames).sum()
+
+                kept = np.asarray(jax.jit(jax.vmap(_kept_frames))(
+                    jnp.asarray(frames)))
             silent = {i for i in range(len(segs))
                       if kept[i] * frame_len
                       < cfg.speaker_feature.silent_samples}

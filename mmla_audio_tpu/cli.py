@@ -395,9 +395,11 @@ def main(argv=None):
             p.add_argument("--windows", type=int, default=None)
             p.add_argument("--calibrate-seconds", type=float, default=None)
             p.add_argument("--save-recordings", action="store_true")
-            p.add_argument("--vad", choices=["energy", "gmm"], default=None,
+            p.add_argument("--vad", choices=["energy", "gmm", "webrtc"],
+                           default=None,
                            help="per-frame VAD decision: calibrated energy "
-                                "(default) or WebRTC-architecture GMM")
+                                "(default), WebRTC-architecture float GMM, "
+                                "or bit-exact webrtcvad (reference-faithful)")
 
     p = sub.add_parser("setup")
     p.add_argument("--root", default="experiment")

@@ -125,14 +125,15 @@ class VadConfig:
     aggressiveness: int = 3            # maps to threshold preset (Vad(0..3))
     silent_samples: int = 4_000        # post-VAD silence gate (0.25 s)
     # Per-frame decision function: "energy" = calibrated log-RMS threshold
-    # (fast default), "gmm" = WebRTC-architecture 6-band adaptive GMM
-    # (vad/gmm.py — closer to the reference's webrtcvad behavior).
+    # (fast default), "webrtc" = bit-exact webrtcvad fixed-point engine
+    # (vad/webrtc.py — reference-faithful, state threads across windows),
+    # "gmm" = float WebRTC-architecture 6-band adaptive GMM (vad/gmm.py).
     decision: str = "energy"
 
     def __post_init__(self):
-        if self.decision not in ("energy", "gmm"):
+        if self.decision not in ("energy", "gmm", "webrtc"):
             raise ValueError(
-                f"VadConfig.decision must be 'energy' or 'gmm': "
+                f"VadConfig.decision must be 'energy', 'gmm' or 'webrtc': "
                 f"{self.decision!r}")
 
     @property

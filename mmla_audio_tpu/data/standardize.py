@@ -55,12 +55,19 @@ def standardize_audio(y: np.ndarray, sr: int, *, target_sr: int = 16_000,
                       silence_remove: bool = False,
                       vad_threshold_db: float | None = None,
                       denoise_cfg: DenoiseConfig = DenoiseConfig(),
-                      vad_cfg: VadConfig = VadConfig()) -> np.ndarray:
+                      vad_cfg: VadConfig = VadConfig(),
+                      vad_box=None) -> np.ndarray:
     """Standardize one conversation/corpus recording.
 
     ``y``: int16 samples (or float [-1, 1], auto-detected).  Returns int16 @
     ``target_sr``.  ``noise``: ambient-noise clip at ``target_sr`` (int16 or
     float) for the denoise passes and VAD calibration.
+
+    With ``vad_cfg.decision == "webrtc"`` the trim's per-frame decisions come
+    from the bit-exact webrtcvad engine; pass one
+    :class:`~mmla_audio_tpu.vad.webrtc.VadBox` across calls to reproduce the
+    reference's shared long-lived detector (a fresh instance per file is
+    used otherwise).
     """
     y = np.asarray(y)
     if y.dtype == np.int16:
@@ -103,8 +110,16 @@ def standardize_audio(y: np.ndarray, sr: int, *, target_sr: int = 16_000,
         T = vadc.frame_count(len(out), frame_len)
         if T > 0:
             frames = out[: T * frame_len].reshape(T, frame_len)
-            dec = vadc.energy_vad(jnp.asarray(frames.astype(np.float32)),
-                                  vad_threshold_db)
+            if vad_cfg.decision == "webrtc":
+                from mmla_audio_tpu.vad.webrtc import VadBox
+
+                box = vad_box if vad_box is not None \
+                    else VadBox(vad_cfg.aggressiveness)
+                dec = jnp.asarray(box.decisions(out[: T * frame_len],
+                                                frame_len, target_sr))
+            else:
+                dec = vadc.energy_vad(jnp.asarray(frames.astype(np.float32)),
+                                      vad_threshold_db)
             keep = np.asarray(vadc.collect_mask(dec, ring=vad_cfg.ring_frames))
             out = frames[keep].reshape(-1)
         else:

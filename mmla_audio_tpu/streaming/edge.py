@@ -158,12 +158,15 @@ class EdgeSpeakerSession(SpeakerSession):
         args = (self.predictor.variables,
                 jnp.asarray(window_i16.astype(np.float32)),
                 self.noise_thresh,
-                jnp.asarray(self.vad_threshold_db, jnp.float32))
+                jnp.asarray(self.vad_threshold_db, jnp.float32),
+                self.vad_state)
         if self._aot is None:
             # the "TFLite conversion": lower + compile for this exact
             # signature; later shape changes fail loudly instead of retracing
             self._aot = self._fused.lower(*args).compile()
-        label, probs, _ = self._aot(*args)
+        label, probs, _, state = self._aot(*args)
+        if state is not None:
+            self.vad_state = state
         label, probs = jax.device_get((label, probs))   # one host fetch
         label = int(label)
         name = "silent" if label < 0 else \

@@ -53,7 +53,7 @@ class Stream:
     def __init__(self, name: str, capture, log: SessionLog,
                  noise_thresh, vad_threshold_db: float,
                  label_names: Optional[Dict[str, str]] = None,
-                 gmm_state=None):
+                 gmm_state=None, index: int = 0):
         self.name = name
         self.capture = capture
         self.log = log
@@ -61,6 +61,7 @@ class Stream:
         self.vad_threshold_db = vad_threshold_db
         self.label_names = label_names
         self.gmm_state = gmm_state          # per-stream GMM VAD model state
+        self.index = index                  # row in the stacked webrtc state
         self.results: List[tuple] = []
         self.done = False
 
@@ -101,6 +102,15 @@ class Multiplexer:
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
+        # Bit-exact webrtcvad mode: every stream's detector state lives as
+        # one row of a device-resident stacked WebRtcVadState; the batched
+        # program gathers the dispatched rows by index, runs the engine, and
+        # scatters the updated rows back — states never leave the device and
+        # sequential ordering is enforced by the data dependency on the
+        # stacked array.
+        self._use_webrtc = cfg.vad.decision == "webrtc"
+        self._webrtc_states = None
+        self._webrtc_n = 0
         self._rr = 0                            # round-robin gather offset
         self._inflight = None                   # (ready, device labels)
         # preallocated host staging, TWO buffers per bucket size: the
@@ -118,21 +128,9 @@ class Multiplexer:
         cfg = self.cfg
         use_speaker = self.kind == "speaker"
         use_gmm = cfg.vad.decision == "gmm"
+        use_webrtc = self._use_webrtc
 
-        def batch_fn(variables, raws, noise_threshs, vad_thrs,
-                     gmm_states=None):
-            # same chain as the single-stream sessions (preprocess_window),
-            # vmapped; per-stream GMM states batch as operands (the sessions
-            # capture theirs as trace constants)
-            if use_gmm:
-                trimmed, n_out = jax.vmap(
-                    lambda r, nt, vt, gs: preprocess_window(
-                        r, nt, vt, cfg, gmm_state=gs))(
-                        raws, noise_threshs, vad_thrs, gmm_states)
-            else:
-                trimmed, n_out = jax.vmap(
-                    lambda r, nt, vt: preprocess_window(r, nt, vt, cfg))(
-                        raws, noise_threshs, vad_thrs)
+        def head(variables, trimmed, n_out):
             if use_speaker:
                 feats, _ = speaker_feature_batch(trimmed, n_out,
                                                  cfg.speaker_feature)
@@ -148,12 +146,61 @@ class Multiplexer:
             labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return jnp.where(silent, -1, labels)
 
-        if self.mesh is not None:
-            from mmla_audio_tpu.parallel import DataParallel
+        def batch_fn(variables, raws, noise_threshs, vad_thrs,
+                     gmm_states=None):
+            # same chain as the single-stream sessions (preprocess_window),
+            # vmapped; per-stream GMM states batch as operands (the sessions
+            # capture theirs as trace constants)
+            if use_gmm:
+                trimmed, n_out, _ = jax.vmap(
+                    lambda r, nt, vt, gs: preprocess_window(
+                        r, nt, vt, cfg, gmm_state=gs))(
+                        raws, noise_threshs, vad_thrs, gmm_states)
+            else:
+                trimmed, n_out, _ = jax.vmap(
+                    lambda r, nt, vt: preprocess_window(r, nt, vt, cfg))(
+                        raws, noise_threshs, vad_thrs)
+            return head(variables, trimmed, n_out)
 
-            self._program = DataParallel(batch_fn, self.mesh)
+        def batch_fn_webrtc(variables, raws, noise_threshs, vad_thrs,
+                            all_states, idx):
+            # Gather the dispatched streams' detector rows (padded rows pass
+            # an out-of-range index: the gather clamps — harmless, their
+            # labels are discarded — and the scatter drops them).
+            states = jax.tree_util.tree_map(lambda a: a[idx], all_states)
+            trimmed, n_out, new_states = jax.vmap(
+                lambda r, nt, vt, st: preprocess_window(
+                    r, nt, vt, cfg, webrtc_state=st))(
+                    raws, noise_threshs, vad_thrs, states)
+            all_states = jax.tree_util.tree_map(
+                lambda a, n: a.at[idx].set(n, mode="drop"),
+                all_states, new_states)
+            return head(variables, trimmed, n_out), all_states
+
+        fn = batch_fn_webrtc if use_webrtc else batch_fn
+        if self.mesh is not None:
+            if use_webrtc:
+                from mmla_audio_tpu.parallel import (replicate_tree,
+                                                     shard_batch)
+
+                jitted = jax.jit(fn)
+
+                def program(variables, raws, nts, vts, all_states, idx):
+                    # batch args shard on `data`; the stacked state (stream
+                    # axis, not batch axis) replicates like the parameters
+                    variables = replicate_tree(variables, self.mesh)
+                    all_states = replicate_tree(all_states, self.mesh)
+                    raws, nts, vts, idx = (shard_batch(x, self.mesh)
+                                           for x in (raws, nts, vts, idx))
+                    return jitted(variables, raws, nts, vts, all_states, idx)
+
+                self._program = program
+            else:
+                from mmla_audio_tpu.parallel import DataParallel
+
+                self._program = DataParallel(fn, self.mesh)
         else:
-            self._program = jax.jit(batch_fn)
+            self._program = jax.jit(fn)
 
     # -- stream management --------------------------------------------------------
     def add_stream(self, name: str, capture, noise_clip_i16: np.ndarray,
@@ -176,9 +223,26 @@ class Multiplexer:
                                                     self.cfg.denoise)),
             vad_threshold_db=calibrate_threshold(
                 noise_clip_i16, self.cfg.vad.aggressiveness),
-            label_names=label_names, gmm_state=gmm_state)
+            label_names=label_names, gmm_state=gmm_state,
+            index=len(self.streams))
         self.streams.append(stream)
         return stream
+
+    def _ensure_webrtc_states(self):
+        """Grow the stacked device-side detector state to cover every
+        stream (new streams start from WebRtcVad_InitCore, like a fresh
+        ``Vad`` instance; existing adapted rows are preserved)."""
+        from mmla_audio_tpu.vad.webrtc import webrtc_init
+
+        n = len(self.streams)
+        if self._webrtc_states is None:
+            self._webrtc_states = webrtc_init((n,))
+        elif self._webrtc_n < n:
+            fresh = webrtc_init((n - self._webrtc_n,))
+            self._webrtc_states = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                self._webrtc_states, fresh)
+        self._webrtc_n = n
 
     def _label_name(self, stream: Stream, label: int) -> str:
         if label < 0:
@@ -212,11 +276,17 @@ class Multiplexer:
         n = len(self.streams)
         limit = self.bucket if limit is None else limit
         ready: List[tuple] = []
+        # webrtc mode: a stream must not contribute two windows to one
+        # dispatched batch (its detector state is sequential — the second
+        # window would see the pre-update state and the scatter of duplicate
+        # rows is unordered), so skip streams with a window already pending.
+        busy = {id(s) for (s, _) in self._pending} if self._use_webrtc \
+            else ()
         for k in range(n):
             if len(ready) >= limit:
                 break
             stream = self.streams[(self._rr + k) % n]
-            if stream.done:
+            if stream.done or id(stream) in busy:
                 continue
             window = self._try_read(stream, n_win)
             if window is None:
@@ -244,6 +314,18 @@ class Multiplexer:
             raws[i] = window
             nts[i] = stream.noise_thresh
             vts[i] = stream.vad_threshold_db
+        if self._use_webrtc:
+            self._ensure_webrtc_states()
+            # padded rows index one past the last stream: the state gather
+            # clamps (discarded) and the scatter drops
+            idx = np.full((bucket,), self._webrtc_n, np.int32)
+            for i, (stream, _) in enumerate(ready):
+                idx[i] = stream.index
+            labels, self._webrtc_states = self._program(
+                self.predictor.variables, jnp.asarray(raws),
+                jnp.asarray(nts), jnp.asarray(vts), self._webrtc_states,
+                jnp.asarray(idx))
+            return labels
         if self.cfg.vad.decision == "gmm":
             # batch per-stream GMM states; padded rows reuse the first
             # stream's state (their labels are discarded by _resolve)

@@ -40,6 +40,7 @@ from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
 from mmla_audio_tpu.vad import calibrate_threshold, energy_vad, vad_trim
 from mmla_audio_tpu.vad.collector import frame_count
 from mmla_audio_tpu.vad.gmm import gmm_init_from_noise, gmm_vad
+from mmla_audio_tpu.vad.webrtc import webrtc_init, webrtc_vad_frames
 
 __all__ = ["session_stamp", "StreamingSession", "OverlapSession",
            "SpeakerSession"]
@@ -59,14 +60,18 @@ _quantize_i16 = quantize_i16
 
 
 def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
-                      vad_thr, cfg, *, gmm_state=None):
+                      vad_thr, cfg, *, gmm_state=None, webrtc_state=None):
     """THE per-window pre-decision chain, shared by the single-stream
     sessions and the Multiplexer's batched program so the two paths cannot
-    diverge: denoise -> int16 re-quantization -> VAD decisions (energy when
-    ``gmm_state`` is None, otherwise the WebRTC-architecture GMM) ->
-    hysteresis trim.  Returns (trimmed int16-scale float buffer, valid
-    count); the trimmed buffer is zero beyond the count (vad_trim scatters
-    kept frames into a zero buffer)."""
+    diverge: denoise -> int16 re-quantization -> VAD decisions -> hysteresis
+    trim.  The per-frame decision is energy (default), the float GMM
+    (``gmm_state``), or the bit-exact webrtcvad engine (``webrtc_state`` —
+    a :class:`~mmla_audio_tpu.vad.webrtc.WebRtcVadState`, threaded across
+    windows like the reference's long-lived ``Vad`` instance).
+
+    Returns ``(trimmed int16-scale float buffer, valid count, new webrtc
+    state or None)``; the trimmed buffer is zero beyond the count (vad_trim
+    scatters kept frames into a zero buffer)."""
     sr = cfg.audio.sample_rate
     y = raw_i16f / 32768.0
     y = reduce_noise(y, noise_thresh, cfg.denoise, sr=sr,
@@ -74,7 +79,16 @@ def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
     i16 = _quantize_i16(y)
     frame_len = int(sr * cfg.vad.frame_ms / 1000)
     T = frame_count(i16.shape[-1], frame_len)
-    if gmm_state is not None:
+    state_out = None
+    if webrtc_state is not None:
+        # Only the collector's T frames (strict `<`, frame_generator) are
+        # ever fed to webrtcvad in the reference — the detector state must
+        # not see a trailing exact-fit frame.
+        decisions, state_out = webrtc_vad_frames(
+            i16[: T * frame_len], webrtc_state,
+            mode=cfg.vad.aggressiveness, frame_len=frame_len,
+            sample_rate=sr)
+    elif gmm_state is not None:
         decisions, _ = gmm_vad(i16, gmm_state,
                                aggressiveness=cfg.vad.aggressiveness,
                                frame_len=frame_len)
@@ -82,8 +96,9 @@ def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
     else:
         frames = i16[: T * frame_len].reshape(T, frame_len)
         decisions = energy_vad(frames, vad_thr)
-    return vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
-                    frame_len, cfg.vad.ring_frames)
+    trimmed, n_out = vad_trim(i16, jnp.asarray(i16.shape[-1]), decisions,
+                              frame_len, cfg.vad.ring_frames)
+    return trimmed, n_out, state_out
 
 
 class StreamingSession:
@@ -117,6 +132,12 @@ class StreamingSession:
         self.noise_thresh = None
         self.vad_threshold_db = 30.0
         self.gmm_state = None
+        # Bit-exact webrtcvad engine state, threaded across windows like the
+        # reference's long-lived module-level Vad(3) instance
+        # (record_on_pc.py:33); fused programs take it as an operand and
+        # return the updated state.
+        self.vad_state = webrtc_init() if cfg.vad.decision == "webrtc" \
+            else None
         self._count = 0
 
     # -- calibration ---------------------------------------------------------
@@ -156,13 +177,13 @@ class StreamingSession:
 
     # -- fused device program --------------------------------------------------
     def _preprocess(self, raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
-                    vad_thr: jnp.ndarray):
+                    vad_thr: jnp.ndarray, vad_state=None):
         """denoise -> quantize -> VAD trim.  Returns (trimmed int16-scale
-        float buffer, valid count)."""
+        float buffer, valid count, new webrtc state or None)."""
         cfg = self.cfg
-        state = self.gmm_state if cfg.vad.decision == "gmm" else None
+        gmm = self.gmm_state if cfg.vad.decision == "gmm" else None
         return preprocess_window(raw_i16f, noise_thresh, vad_thr, cfg,
-                                 gmm_state=state)
+                                 gmm_state=gmm, webrtc_state=vad_state)
 
     # -- loop -------------------------------------------------------------------
     def run(self, max_windows: Optional[int] = None,
@@ -226,8 +247,9 @@ class OverlapSession(StreamingSession):
     def _rebuild_fused(self):
         cfg = self.cfg
 
-        def fused(variables, raw, noise_thresh, vad_thr):
-            trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
+        def fused(variables, raw, noise_thresh, vad_thr, vad_state):
+            trimmed, n_out, state = self._preprocess(raw, noise_thresh,
+                                                     vad_thr, vad_state)
             # trimmed is zero beyond n_out (preprocess_window contract)
             img = overlap_model_input(
                 trimmed[: cfg.overlap_feature.n_samples] / 32768.0,
@@ -236,15 +258,18 @@ class OverlapSession(StreamingSession):
             probs = jax.nn.softmax(logits, axis=-1)[0]
             label = jnp.argmax(probs).astype(jnp.int32)
             silent = n_out < cfg.vad.silent_samples
-            return jnp.where(silent, -1, label), probs, n_out
+            return jnp.where(silent, -1, label), probs, n_out, state
 
         self._fused = jax.jit(fused)
 
     def process_window(self, window_i16: np.ndarray):
-        label, probs, _ = self._fused(
+        label, probs, _, state = self._fused(
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),
-            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32),
+            self.vad_state)
+        if state is not None:
+            self.vad_state = state
         label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
@@ -262,10 +287,13 @@ class SpeakerSession(StreamingSession):
         self._rebuild_fused()
 
     def process_window(self, window_i16: np.ndarray):
-        label, probs, _ = self._fused(
+        label, probs, _, state = self._fused(
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),
-            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32))
+            self.noise_thresh, jnp.asarray(self.vad_threshold_db, jnp.float32),
+            self.vad_state)
+        if state is not None:
+            self.vad_state = state
         label, probs = jax.device_get((label, probs))  # one host fetch
         label = int(label)
         name = "silent" if label < 0 else \
@@ -288,9 +316,11 @@ class SpeakerSession(StreamingSession):
             chunks.append(w)
             got += len(w)
         raw = (np.concatenate(chunks) if chunks else np.zeros(n, np.int16))[:n]
-        trimmed, n_out = self._preprocess(
+        trimmed, n_out, state = self._preprocess(
             jnp.asarray(raw.astype(np.float32)), self.noise_thresh,
-            jnp.asarray(self.vad_threshold_db, jnp.float32))
+            jnp.asarray(self.vad_threshold_db, jnp.float32), self.vad_state)
+        if state is not None:
+            self.vad_state = state
         out = np.asarray(trimmed[: int(n_out)]).astype(np.int16)
         path = self.dirs.corpus / f"{name}.wav"
         write_wav(path, out, sr)
@@ -334,14 +364,15 @@ class SpeakerSession(StreamingSession):
     def _rebuild_fused(self):
         cfg = self.cfg
 
-        def fused(variables, raw, noise_thresh, vad_thr):
-            trimmed, n_out = self._preprocess(raw, noise_thresh, vad_thr)
+        def fused(variables, raw, noise_thresh, vad_thr, vad_state):
+            trimmed, n_out, state = self._preprocess(raw, noise_thresh,
+                                                     vad_thr, vad_state)
             feats, _ = speaker_feature(trimmed, n_out, cfg.speaker_feature)
             logits = self.predictor.apply_model(variables, feats[None])
             probs = (jax.nn.sigmoid(logits)[0] if self.predictor.sigmoid_head
                      else jax.nn.softmax(logits, axis=-1)[0])
             label = jnp.argmax(logits[0]).astype(jnp.int32)
             silent = n_out < cfg.speaker_feature.silent_samples
-            return jnp.where(silent, -1, label), probs, n_out
+            return jnp.where(silent, -1, label), probs, n_out, state
 
         self._fused = jax.jit(fused)

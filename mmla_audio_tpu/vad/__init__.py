@@ -12,6 +12,12 @@ from mmla_audio_tpu.vad.gmm import (
     gmm_init_from_noise,
     gmm_vad,
 )
+from mmla_audio_tpu.vad.webrtc import (
+    WebRtcVad,
+    WebRtcVadState,
+    webrtc_init,
+    webrtc_vad_frames,
+)
 
 __all__ = [
     "apply_mask",
@@ -24,4 +30,8 @@ __all__ = [
     "band_log_energies",
     "gmm_init_from_noise",
     "gmm_vad",
+    "WebRtcVad",
+    "WebRtcVadState",
+    "webrtc_init",
+    "webrtc_vad_frames",
 ]

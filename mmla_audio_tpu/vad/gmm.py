@@ -30,12 +30,14 @@ TPU-first details:
   information than WebRTC's fixed spectral priors; the speech mixtures start
   at calibrated-noise + typical-SNR offsets and adapt.
 
-**Fidelity note** (PARITY.md): this environment has neither webrtcvad nor
-network access, so *bit-exact* parity with WebRTC's fixed-point tables is
-unverifiable here; what is reproduced is the detector architecture and the
-aggressiveness semantics, and `benchmarks/vad_agreement.py` quantifies the
-frame- and window-label agreement between this detector and the calibrated
-energy VAD across SNRs.
+**Fidelity note** (PARITY.md): this module is the *float approximation* of
+webrtcvad — detector architecture and aggressiveness semantics, with the
+noise model initialised from the session's calibration clip instead of
+WebRTC's fixed priors.  For bit-exact webrtcvad frame decisions use
+``vad/webrtc.py`` (``VadConfig(decision="webrtc")``), the round-3 int32
+transcription of the published fixed-point algorithm, golden-pinned in
+``tests/test_vad_webrtc.py``.  `benchmarks/vad_agreement.py` quantifies the
+frame- and window-label agreement between the in-repo detectors across SNRs.
 """
 
 from __future__ import annotations

@@ -281,3 +281,52 @@ def test_multiplexer_gmm_vad_matches_single_session(tmp_path):
     assert stream.gmm_state is not None
     muxed = [r[1] for r in stream.results]
     assert muxed == single
+
+
+def test_multiplexer_webrtc_vad_matches_single_session(tmp_path):
+    """VadConfig(decision='webrtc'): the batched program gathers/scatters
+    per-stream detector rows from the stacked device state; labels AND the
+    threaded webrtcvad adaptation must match the single-stream session
+    window-for-window (sequential-state contract across ticks)."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+
+    cfg = dataclasses.replace(PipelineConfig(),
+                              vad=VadConfig(decision="webrtc"))
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    audios = [np.concatenate([synth_speech_i16(40960, seed=s * 3 + w)
+                              for w in range(3)]) for s in range(2)]
+    noises = [_noise(seed=s) for s in range(2)]
+
+    singles = []
+    states = []
+    for s in range(2):
+        cap = CaptureThread(ArraySource(audios[s])).start()
+        sess = OverlapSession(pred, cap, tmp_path / f"exp_single{s}",
+                              cfg=cfg)
+        sess.set_noise_profile(noises[s])
+        singles.append([r[1] for r in sess.run(max_windows=3)])
+        states.append(sess.vad_state)
+        cap.stop()
+
+    mux = Multiplexer(pred, tmp_path / "exp_mux", kind="overlap", bucket=2,
+                      cfg=cfg)
+    caps = []
+    for s in range(2):
+        cap = CaptureThread(ArraySource(audios[s])).start()
+        caps.append(cap)
+        mux.add_stream(f"s{s}", cap, noises[s])
+    mux.run_until_exhausted()
+    for c in caps:
+        c.stop()
+
+    for s, stream in enumerate(mux.streams):
+        assert [r[1] for r in stream.results] == singles[s]
+        # the stacked device state row equals the session's threaded state
+        row = jax.tree_util.tree_map(lambda a: np.asarray(a)[stream.index],
+                                     mux._webrtc_states)
+        for a, b in zip(jax.tree_util.tree_leaves(row),
+                        jax.tree_util.tree_leaves(states[s])):
+            assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -224,10 +224,11 @@ def test_session_honors_predictor_numerics_policy(tmp_path):
         cap.stop()
         probs[tag] = np.asarray(out[0][2]) if len(out[0]) > 2 else None
         # fall back to log-independent check via the fused program directly
-        label, p, _ = sess._fused(
+        label, p, _, _ = sess._fused(
             pred.variables,
             jnp.asarray(np.pad(samples, (0, 0)).astype(np.float32)),
-            sess.noise_thresh, jnp.asarray(sess.vad_threshold_db, jnp.float32))
+            sess.noise_thresh, jnp.asarray(sess.vad_threshold_db, jnp.float32),
+            sess.vad_state)
         probs[tag] = np.asarray(p)
     diff = float(np.max(np.abs(probs["f32"] - probs["bf16"])))
     assert diff > 0.0, "bf16 session produced bit-identical probs to f32 — " \

@@ -1,0 +1,211 @@
+"""Bit-parity suite for the webrtcvad engine.
+
+The golden is the literal fixed-point transcription of WebRTC's published
+VAD sources (``tests/golden/webrtc_vad_ref.py`` — vad_core.c,
+vad_filterbank.c, vad_sp.c, vad_gaussian.c semantics with explicit 16/32-bit
+wrap-around); ``mmla_audio_tpu/vad/webrtc.py`` is the jittable int32 engine
+that must match it bit-for-bit: per-frame decisions AND the full internal
+state (GMM means/stds, minimum tracker, filter states) after every run.
+
+Reference behavior pinned here: `record_on_pc.py:33` ``Vad(3)``,
+`:229-295` the 30 ms / 16 kHz collector feed, and the long-lived instance
+whose adaptation persists across windows.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.golden.webrtc_vad_ref import WebRtcVadRef
+from mmla_audio_tpu.vad.webrtc import (
+    WebRtcVad,
+    webrtc_init,
+    webrtc_vad_frames,
+)
+
+
+def _golden_decisions(sig, mode, frame_len=480, sample_rate=16000):
+    v = WebRtcVadRef(mode)
+    T = len(sig) // frame_len
+    dec = np.array([v.is_speech(sig[i * frame_len: (i + 1) * frame_len],
+                                sample_rate) for i in range(T)], bool)
+    return dec, v
+
+
+_jit_frames = jax.jit(webrtc_vad_frames,
+                      static_argnames=("mode", "frame_len", "sample_rate"))
+
+
+def _engine_decisions(sig, mode, frame_len=480, sample_rate=16000):
+    dec, st = _jit_frames(
+        jnp.asarray(np.asarray(sig, np.int32)), webrtc_init(),
+        mode=mode, frame_len=frame_len, sample_rate=sample_rate)
+    return np.asarray(dec), st
+
+
+def _assert_state_equal(jst, gv):
+    assert np.array_equal(np.asarray(jst.noise_means),
+                          np.array(gv.noise_means).reshape(2, 6))
+    assert np.array_equal(np.asarray(jst.speech_means),
+                          np.array(gv.speech_means).reshape(2, 6))
+    assert np.array_equal(np.asarray(jst.noise_stds),
+                          np.array(gv.noise_stds).reshape(2, 6))
+    assert np.array_equal(np.asarray(jst.speech_stds),
+                          np.array(gv.speech_stds).reshape(2, 6))
+    assert np.array_equal(np.asarray(jst.low_values),
+                          np.array(gv.low_value_vector).reshape(6, 16))
+    assert np.array_equal(np.asarray(jst.ages),
+                          np.array(gv.index_vector).reshape(6, 16))
+    assert np.array_equal(np.asarray(jst.mean_value),
+                          np.array(gv.mean_value))
+    assert int(jst.frame_counter) == gv.frame_counter
+    assert int(jst.over_hang) == gv.over_hang
+    assert int(jst.num_of_speech) == gv.num_of_speech
+    assert np.array_equal(np.asarray(jst.ds_state),
+                          np.array(gv.downsampling_filter_states))
+    assert np.array_equal(np.asarray(jst.upper_state),
+                          np.array(gv.upper_state))
+    assert np.array_equal(np.asarray(jst.lower_state),
+                          np.array(gv.lower_state))
+    assert np.array_equal(np.asarray(jst.hp_state),
+                          np.array(gv.hp_filter_state))
+
+
+def _signals(seconds=2.0, sr=16000):
+    rng = np.random.default_rng(7)
+    t = np.arange(int(sr * seconds)) / sr
+    env = (np.sin(2 * np.pi * 3 * t) > 0).astype(float)
+    return {
+        "silence": np.zeros(len(t), np.int16),
+        "speechy": (6000 * env * (np.sin(2 * np.pi * 220 * t)
+                                  + 0.5 * np.sin(2 * np.pi * 880 * t)
+                                  + 0.3 * np.sin(2 * np.pi * 1760 * t))
+                    + 120 * rng.standard_normal(len(t))).astype(np.int16),
+        "quiet_speech": (700 * env * np.sin(2 * np.pi * 300 * t)
+                         + 150 * rng.standard_normal(len(t))
+                         ).astype(np.int16),
+        "noise": (900 * rng.standard_normal(len(t))).astype(np.int16),
+        "extreme": np.where(rng.random(len(t)) < 0.5,
+                            32767, -32768).astype(np.int16),
+    }
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_bit_parity_all_modes(mode):
+    """Decisions + full internal state match the transcription golden for
+    every aggressiveness mode across silence / speech / noise / extremes."""
+    for name, sig in _signals().items():
+        g, gv = _golden_decisions(sig, mode)
+        j, jst = _engine_decisions(sig, mode)
+        assert np.array_equal(g, j), (name, mode)
+        _assert_state_equal(jst, gv)
+
+
+@pytest.mark.parametrize("frame_len,sample_rate", [
+    (160, 16000), (320, 16000), (80, 8000), (160, 8000), (240, 8000)])
+def test_bit_parity_other_geometries(frame_len, sample_rate):
+    """10/20 ms frames and direct 8 kHz input hit the other threshold rows
+    (and, at 8 kHz, skip the downsampler) — same bit-parity contract."""
+    rng = np.random.default_rng(11)
+    t = np.arange(sample_rate) / sample_rate
+    sig = (4000 * (np.sin(2 * np.pi * 2 * t) > 0)
+           * np.sin(2 * np.pi * 250 * t)
+           + 300 * rng.standard_normal(len(t))).astype(np.int16)
+    g, gv = _golden_decisions(sig, 3, frame_len, sample_rate)
+    j, jst = _engine_decisions(sig, 3, frame_len, sample_rate)
+    assert np.array_equal(g, j)
+    _assert_state_equal(jst, gv)
+
+
+def test_state_threads_across_windows():
+    """Splitting a signal into windows with the state threaded equals one
+    continuous run — the long-lived-Vad contract sessions rely on."""
+    sig = _signals(seconds=3.0)["speechy"]
+    full, _ = _engine_decisions(sig, 3)
+    st = webrtc_init()
+    parts = []
+    n = 480 * 20
+    for k in range(0, len(sig) - n + 1, n):
+        d, st = _jit_frames(jnp.asarray(sig[k: k + n], jnp.int32), st,
+                            mode=3)
+        parts.append(np.asarray(d))
+    got = np.concatenate(parts)
+    assert np.array_equal(full[: len(got)], got)
+
+
+def test_valid_mask_leaves_state_untouched():
+    """Masked trailing frames must not advance the detector (as if the
+    partial buffer's tail were never captured)."""
+    sig = _signals()["speechy"][: 480 * 30]
+    st0 = webrtc_init()
+    d_short, st_short = _jit_frames(
+        jnp.asarray(sig[: 480 * 20], jnp.int32), st0, mode=3)
+    valid = jnp.arange(30) < 20
+    d_mask, st_mask = _jit_frames(
+        jnp.asarray(sig, jnp.int32), st0, mode=3, valid=valid)
+    assert np.array_equal(np.asarray(d_mask)[:20], np.asarray(d_short))
+    assert not np.asarray(d_mask)[20:].any()
+    for a, b in zip(jax.tree_util.tree_leaves(st_mask),
+                    jax.tree_util.tree_leaves(st_short)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vmap_batches_independent_streams():
+    """vmap over a stream batch == per-stream runs (the multiplexer path)."""
+    sigs = _signals()
+    batch = np.stack([sigs["speechy"], sigs["noise"],
+                      sigs["quiet_speech"], sigs["silence"]])
+    states = webrtc_init((4,))
+    dec_b, st_b = jax.jit(jax.vmap(
+        lambda x, s: webrtc_vad_frames(x, s, mode=3)))(
+        jnp.asarray(batch, jnp.int32), states)
+    for i in range(4):
+        d, st = _engine_decisions(batch[i], 3)
+        assert np.array_equal(np.asarray(dec_b)[i], d)
+        for a, b in zip(jax.tree_util.tree_leaves(st_b),
+                        jax.tree_util.tree_leaves(st)):
+            assert np.array_equal(np.asarray(a)[i], np.asarray(b))
+
+
+def test_wrapper_api_matches_upstream_surface():
+    """WebRtcVad mirrors webrtcvad.Vad: mode validation, frame-length
+    validation, bytes input, persistent state."""
+    with pytest.raises(ValueError):
+        WebRtcVad(4)
+    v = WebRtcVad(3)
+    with pytest.raises(ValueError):
+        v.is_speech(np.zeros(100, np.int16), 16000)
+    with pytest.raises(ValueError):
+        v.is_speech(np.zeros(480, np.int16), 44100)
+    sig = _signals()["speechy"]
+    gv = WebRtcVadRef(3)
+    for i in range(20):
+        frame = sig[i * 480: (i + 1) * 480]
+        got = v.is_speech(frame.astype("<i2").tobytes(), 16000)
+        want = gv.is_speech(frame, 16000)
+        assert got == want, i
+
+
+def test_mode_aggressiveness_is_monotone():
+    """Higher aggressiveness never flags more speech frames (on a mid-level
+    signal where thresholds actually bind)."""
+    sig = _signals()["quiet_speech"]
+    counts = [int(_engine_decisions(sig, m)[0].sum()) for m in range(4)]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[0] > 0
+
+
+def test_hangover_extends_speech_tail():
+    """A speech burst followed by silence keeps the decision high for the
+    overhang frames (mode-3 overhang: 2-3 frames after a short burst)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    burst = (8000 * np.sin(2 * np.pi * 300 * t[: sr // 2])).astype(np.int16)
+    sig = np.concatenate([burst, np.zeros(sr // 2, np.int16)])
+    dec, _ = _engine_decisions(sig, 3)
+    T_burst = (sr // 2) // 480           # frames wholly inside the burst
+    tail = dec[T_burst:]
+    assert dec[:T_burst][2:].all()       # burst detected (after warm-up)
+    assert tail[:1].any()                # at least one hangover frame
+    assert not tail[-5:].any()           # silence eventually wins

@@ -83,14 +83,110 @@ def bench_overlap(window_sec, n_samples):
     n = jnp.full((B,), n_samples, jnp.int32)
 
     _log("overlap f32 ...")
-    step_f32 = _chained_step_seconds(
-        OverlapPredictor(variables).lower_fn(), variables, buf, n)
+    fwd_f32 = OverlapPredictor(variables).lower_fn()
+    step_f32 = _chained_step_seconds(fwd_f32, variables, buf, n)
     _log(f"overlap f32 step {step_f32 * 1e3:.2f} ms; bf16 ...")
     step_bf16 = _chained_step_seconds(
         OverlapPredictor(variables, compute_dtype=jnp.bfloat16).lower_fn(),
         variables, buf, n)
     _log(f"overlap bf16 step {step_bf16 * 1e3:.2f} ms")
-    return step_f32, step_bf16
+
+    # Roofline accounting (VERDICT r2 item 4): XLA's own cost model for the
+    # timed f32 program vs the measured sustained step -> achieved HBM GB/s
+    # (% of the 819 GB/s v5e peak) and MFU (% of 197 TFLOP/s bf16 MXU peak;
+    # f32 convs run as bf16 MXU passes).  benchmarks/roofline.py has the
+    # per-stage breakdown.
+    roofline = {}
+    try:
+        cost = jax.jit(fwd_f32).lower(variables, buf, n).compile() \
+            .cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        byts = float(cost.get("bytes accessed", 0.0))
+        flops = float(cost.get("flops", 0.0))
+        if byts and step_f32:
+            gbps = byts / step_f32 / 1e9
+            roofline = {
+                "hbm_gbps": round(gbps, 1),
+                "hbm_pct_of_peak": round(100.0 * gbps / 819.0, 1),
+                "mfu_pct": round(100.0 * flops / step_f32 / 197e12, 2),
+            }
+    except Exception as e:   # noqa: BLE001 — cost model is best-effort
+        _log(f"WARNING: cost_analysis failed: {type(e).__name__}: {e}")
+    return step_f32, step_bf16, roofline
+
+
+def bench_vad_modes(n_samples):
+    """Full serving pre-decision chain (denoise -> VAD -> trim) + model step
+    at b512 for each per-frame VAD decision mode.  This is the measured cost
+    basis for the VadConfig.decision default (VERDICT r2 item 2): energy is
+    the fast default; webrtc is the bit-exact reference-faithful engine
+    (frame-serial int32 scans, amortized across the batch by vmap); gmm is
+    the float approximation."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.ops.denoise import noise_threshold
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.streaming.session import preprocess_window
+    from mmla_audio_tpu.vad.gmm import gmm_init_from_noise
+    from mmla_audio_tpu.vad.webrtc import webrtc_init
+
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    rng = np.random.RandomState(2)
+    buf = jnp.asarray((rng.randn(B, n_samples) * 3000).astype(np.float32))
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    nt1 = noise_threshold(jnp.asarray(noise.astype(np.float32) / 32768.0),
+                          PipelineConfig().denoise)
+    nt = jnp.broadcast_to(nt1, (B,) + nt1.shape)
+    vt = jnp.full((B,), 30.0, jnp.float32)
+
+    results = {}
+    for mode in ("energy", "gmm", "webrtc"):
+        cfg = dataclasses.replace(PipelineConfig(),
+                                  vad=VadConfig(decision=mode))
+        if mode == "gmm":
+            one = gmm_init_from_noise(noise)
+            gmm_states = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+        elif mode == "webrtc":
+            webrtc_states = webrtc_init((B,))
+
+        def fwd(variables, b, n, _mode=mode, _cfg=cfg):
+            if _mode == "energy":
+                trimmed, n_out, _ = jax.vmap(
+                    lambda r, nthr, vthr: preprocess_window(
+                        r, nthr, vthr, _cfg))(b, nt, vt)
+            elif _mode == "gmm":
+                trimmed, n_out, _ = jax.vmap(
+                    lambda r, nthr, vthr, g: preprocess_window(
+                        r, nthr, vthr, _cfg, gmm_state=g))(
+                    b, nt, vt, gmm_states)
+            else:
+                trimmed, n_out, _ = jax.vmap(
+                    lambda r, nthr, vthr, w: preprocess_window(
+                        r, nthr, vthr, _cfg, webrtc_state=w))(
+                    b, nt, vt, webrtc_states)
+            img = overlap_model_input(
+                trimmed[:, : _cfg.overlap_feature.n_samples] / 32768.0,
+                _cfg.overlap_feature)
+            logits = pred.apply_model(variables, img)
+            labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.where(n_out < _cfg.vad.silent_samples, -1, labels), \
+                logits
+
+        _log(f"vad mode {mode} full chain ...")
+        n = jnp.full((B,), n_samples, jnp.int32)
+        step = _chained_step_seconds(fwd, variables, buf, n)
+        _log(f"vad {mode}: {step * 1e3:.2f} ms/step")
+        results[mode] = step
+    return results
 
 
 def bench_speaker(window_sec, n_samples):
@@ -157,6 +253,11 @@ def bench_live(window_sec, n_streams: int = 64, reps: int = 2):
     Host scheduling jitter dominates run-to-run variance here, so the loop
     is run ``reps`` times (the compiled program is cached after the first)
     and the best sustained rate is reported.
+
+    At >= 512 streams the per-stream Python ``CaptureThread`` producers
+    serialize on the GIL and measure the harness rather than the system
+    (production capture arrives via DMA/network), so those points prefill
+    every native ring up front and time the serving loop proper.
     """
     import tempfile
 
@@ -165,31 +266,33 @@ def bench_live(window_sec, n_streams: int = 64, reps: int = 2):
     from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.inference import OverlapPredictor
     from mmla_audio_tpu.models.overlap import OverlapResBLSTM
-    from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread, \
-        FakePCMSource
+    from mmla_audio_tpu.streaming.capture import (ArraySource, CaptureThread,
+                                                  FakePCMSource,
+                                                  PrefilledCapture)
     from mmla_audio_tpu.streaming.multiplex import Multiplexer
 
     windows = 4
-    # High stream counts stagger ring fills across the capture threads;
-    # min_fill=0.75 accumulates ready windows instead of padding
-    # mostly-empty buckets (measured 4x per-window waste at 256 eager).
-    min_fill = 0.75 if n_streams > 64 else 0.0
+    prefill = n_streams >= 512
     cfg = PipelineConfig()
     pred = OverlapPredictor(
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
     noise = (np.random.RandomState(1).randn(160000) * 20).astype(np.int16)
-    _log(f"live {n_streams}-stream serving loop ...")
+    _log(f"live {n_streams}-stream serving loop "
+         f"({'prefilled rings' if prefill else 'threaded capture'}) ...")
     best = None
     for rep in range(reps):
         with tempfile.TemporaryDirectory() as root:
+            # min_fill=None -> auto (0.75 once streams >= bucket): the
+            # measured anti-padding policy is now the default
             mux = Multiplexer(pred, root, kind="overlap", bucket=n_streams,
-                              min_fill=min_fill, cfg=cfg)
+                              cfg=cfg)
             caps = []
             total = (windows + 2) * cfg.audio.window_samples
             for s in range(n_streams):
                 src = FakePCMSource(cfg.audio, seed=s, realtime=False)
-                cap = CaptureThread(ArraySource(src.read(total)),
-                                    cfg.audio).start()
+                cap = PrefilledCapture(src.read(total)) if prefill else \
+                    CaptureThread(ArraySource(src.read(total)),
+                                  cfg.audio).start()
                 caps.append(cap)
                 mux.add_stream(f"s{s}", cap, noise)
             deadline = time.time() + 300
@@ -228,7 +331,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
-    step_f32, step_bf16 = bench_overlap(window_sec, n_samples)
+    step_f32, step_bf16, roofline = bench_overlap(window_sec, n_samples)
     rtf = B * window_sec / step_f32
     out.update({
         "value": round(rtf, 1),
@@ -237,12 +340,27 @@ def main():
         "batch_step_ms_bf16": round(step_bf16 * 1000.0, 3),
         "rtf_bf16": round(B * window_sec / step_bf16, 1),
     })
+    out.update(roofline)
+
+    def _vad():
+        steps = bench_vad_modes(n_samples)
+        for mode, step in steps.items():
+            out[f"serve_step_ms_vad_{mode}"] = round(step * 1000.0, 3)
+
+    def _live(n_streams, reps=1):
+        rtf_n, per_win = bench_live(window_sec, n_streams=n_streams,
+                                    reps=reps)
+        out[f"live_rtf_{n_streams}_streams"] = round(rtf_n, 1)
+        out[f"live_{n_streams}_per_window_ms"] = round(per_win * 1000.0, 2)
 
     for name, fn in (
         ("speaker", lambda: bench_speaker(window_sec, n_samples)),
+        ("vad_modes", _vad),
         ("registration", bench_registration),
-        ("live64", lambda: bench_live(window_sec, n_streams=64)),
-        ("live256", lambda: bench_live(window_sec, n_streams=256, reps=1)),
+        ("live64", lambda: _live(64, reps=2)),
+        ("live256", lambda: _live(256)),
+        ("live512", lambda: _live(512)),
+        ("live1024", lambda: _live(1024)),
     ):
         try:
             if name == "speaker":
@@ -253,14 +371,8 @@ def main():
                 t_steady, t_first = fn()
                 out["registration_finetune_s"] = round(t_steady, 2)
                 out["registration_first_compile_s"] = round(t_first, 1)
-            elif name == "live64":
-                rtf64, per_win = fn()
-                out["live_rtf_64_streams"] = round(rtf64, 1)
-                out["live_64_per_window_ms"] = round(per_win * 1000.0, 2)
             else:
-                rtf256, per_win = fn()
-                out["live_rtf_256_streams"] = round(rtf256, 1)
-                out["live_256_per_window_ms"] = round(per_win * 1000.0, 2)
+                fn()
         except Exception as e:           # noqa: BLE001 — axis must not kill headline
             _log(f"WARNING: {name} axis failed: {type(e).__name__}: {e}")
 

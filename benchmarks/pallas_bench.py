@@ -1,0 +1,77 @@
+"""Pallas fused-DSP kernel vs XLA's own fusion — the multi-window lever.
+
+Round-2 left one untried idea on the table (CLAUDE.md): batch G windows
+into one kernel program so the DFT/mel GEMMs run with M = G*152 rows
+instead of 151.  This measures the jnp path against the Pallas kernel at
+G=1/4/8, b512 f32, with the standard chained-scan harness, and prints the
+verdict that decides ``use_pallas``'s fate (VERDICT r2 item 7).
+
+Usage: python benchmarks/pallas_bench.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = 512
+K = 32
+
+
+def _measure(fn, x):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(x):
+        def body(carry, _):
+            out = fn(carry)
+            return carry + out[0, 0, 0, 0] * 1e-12, out[0, 0, 0, 0]
+        _, outs = jax.lax.scan(body, x, jnp.arange(K))
+        return outs
+
+    _ = np.asarray(chained(x)[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(x)[-1])
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)) / K * 1e3, 3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import OverlapFeatureConfig
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.ops.pallas_features import overlap_model_input_pallas
+
+    cfg = OverlapFeatureConfig()
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(B, cfg.n_samples).astype(np.float32) * 0.1)
+
+    out = {"metric": "pallas_dsp_b512", "batch": B, "K": K,
+           "device": str(jax.devices()[0])}
+
+    out["jnp_ms"] = _measure(
+        lambda x: jax.vmap(lambda w: overlap_model_input(w, cfg))(x), y)
+    print("[pallas] jnp", out["jnp_ms"], "ms", file=sys.stderr, flush=True)
+    # g=8 exceeds the 16 MB VMEM scope (measured: 26.75 MB request)
+    for g in (1, 4):
+        out[f"pallas_g{g}_ms"] = _measure(
+            lambda x, _g=g: overlap_model_input_pallas(x, cfg, group=_g), y)
+        print(f"[pallas] g{g}", out[f"pallas_g{g}_ms"], "ms",
+              file=sys.stderr, flush=True)
+
+    best = min(v for k, v in out.items() if k.startswith("pallas_g"))
+    out["speedup_vs_jnp"] = round(out["jnp_ms"] / best, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

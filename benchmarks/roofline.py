@@ -1,0 +1,189 @@
+"""Roofline accounting for the overlap serving step (VERDICT r2 item 4).
+
+Quantifies the "activation-traffic-bound, XLA is near the limit" claim in
+docs/performance.md with numbers instead of inference: for the DSP, each
+conv-stage prefix, the head, and the full fused step (f32 + bf16, b512),
+
+  * measured sustained ms/step (K-chained scan harness, CLAUDE.md timing
+    discipline),
+  * XLA's own cost model per compiled program (``compiled.cost_analysis()``:
+    flops + bytes accessed),
+  * achieved HBM GB/s and % of the v5e peak (819 GB/s), and
+  * MFU (fraction of the 197 TFLOP/s bf16 MXU peak; f32 convs run as bf16
+    MXU passes on TPU, so the same peak applies).
+
+Stage deltas come from consecutive prefixes (same caveat as
+profile_stages.py: XLA layout assignment is global, so per-stage deltas are
+approximate — the full-step aggregate is the authoritative number, and it
+is what bench.py re-emits).
+
+Usage: python benchmarks/roofline.py   (TPU; ~5 min of compiles)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = 512
+K = 32
+V5E_HBM_GBPS = 819.0          # per-chip HBM bandwidth
+V5E_BF16_TFLOPS = 197.0       # per-chip MXU peak
+
+
+def _chained(fn):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(carry, _):
+            out = fn(carry)
+            bump = jax.tree_util.tree_leaves(out)[0].sum()
+            return carry + bump.astype(carry.dtype) * 1e-12, \
+                jax.tree_util.tree_leaves(out)[0].ravel()[0]
+        _, outs = jax.lax.scan(body, x, jnp.arange(K))
+        return outs
+
+    return run
+
+
+def _measure_and_cost(fn, x):
+    """(sustained ms/step, flops/step, bytes/step) for one program."""
+    import jax
+
+    run = _chained(fn)
+    lowered = jax.jit(fn).lower(x)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    byts = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+    _ = np.asarray(run(x)[-1])                    # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(x)[-1])
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) / K * 1e3
+    return ms, flops, byts
+
+
+def _row(name, ms, flops, byts):
+    gbps = byts / (ms / 1e3) / 1e9 if ms else 0.0
+    mfu = flops / (ms / 1e3) / (V5E_BF16_TFLOPS * 1e12) if ms else 0.0
+    return {
+        "stage": name, "ms": round(ms, 3),
+        "gflops": round(flops / 1e9, 2), "mb_accessed": round(byts / 1e6, 1),
+        "achieved_gbps": round(gbps, 1),
+        "hbm_pct": round(100.0 * gbps / V5E_HBM_GBPS, 1),
+        "mfu_pct": round(100.0 * mfu, 2),
+    }
+
+
+def main():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import (OverlapFeatureConfig,
+                                            OverlapModelConfig)
+    from mmla_audio_tpu.models.layers import BiLSTM, leaky_relu
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM, ResBlock2D
+    from mmla_audio_tpu.ops.features import overlap_model_input
+
+    fcfg = OverlapFeatureConfig()
+    cfg = OverlapModelConfig()
+    model = OverlapResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray((rng.rand(B, 128, 151, 3) * 255).astype(np.float32))
+    wav = jnp.asarray(rng.randn(B, fcfg.n_samples).astype(np.float32) * 0.1)
+
+    rows = []
+
+    # DSP featurize (the fused GEMM front end)
+    def dsp(x):
+        return jax.vmap(lambda w: overlap_model_input(w, fcfg))(x)
+
+    rows.append(_row("dsp_featurize", *_measure_and_cost(dsp, wav)))
+    print("[roofline]", rows[-1], file=sys.stderr, flush=True)
+
+    # conv-trunk prefixes
+    def prefix(n_stages):
+        def fn(x):
+            net = nn.Conv(cfg.stem_filters, (1, 1), padding="SAME",
+                          name="stem").apply({"params": p["stem"]}, x)
+            for stage in range(n_stages):
+                for block in range(3):
+                    name = f"stage{stage}_block{block}"
+                    net = ResBlock2D(cfg.stage_filters[stage],
+                                     pool=(block == 0),
+                                     bn_momentum=cfg.bn_momentum,
+                                     bn_eps=cfg.bn_eps).apply(
+                        {"params": p[name], "batch_stats": s[name]}, net)
+            return net
+        return fn
+
+    prev = None
+    for n, name in ((0, "stem"), (1, "thru_stage0"), (2, "thru_stage1"),
+                    (3, "thru_stage2")):
+        r = _row(name, *_measure_and_cost(prefix(n), img))
+        print("[roofline]", r, file=sys.stderr, flush=True)
+        rows.append(r)
+        if prev is not None:
+            rows.append({
+                "stage": f"delta_{name}",
+                "ms": round(r["ms"] - prev["ms"], 3),
+                "gflops": round(r["gflops"] - prev["gflops"], 2),
+                "mb_accessed": round(r["mb_accessed"] - prev["mb_accessed"],
+                                     1)})
+        prev = r
+
+    # head (mel-mean + BiLSTM + dense)
+    trunk_out = jnp.asarray(rng.randn(B, 16, 19, 128).astype(np.float32))
+
+    def head(x):
+        net = jnp.mean(x, axis=1)
+        net = BiLSTM(cfg.lstm_units).apply({"params": p["BiLSTM_0"]}, net)
+        net = leaky_relu(net)
+        return net @ p["head"]["kernel"] + p["head"]["bias"]
+
+    rows.append(_row("head", *_measure_and_cost(head, trunk_out)))
+    print("[roofline]", rows[-1], file=sys.stderr, flush=True)
+
+    # full fused step: DSP + model forward, f32 and bf16
+    def full_f32(x):
+        img = jax.vmap(lambda w: overlap_model_input(w, fcfg))(x)
+        return model.apply(variables, img, train=False)
+
+    def full_bf16(x):
+        img = jax.vmap(lambda w: overlap_model_input(w, fcfg))(x)
+        v16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, variables)
+        return model.apply(v16, img.astype(jnp.bfloat16),
+                           train=False).astype(jnp.float32)
+
+    rows.append(_row("full_step_f32", *_measure_and_cost(full_f32, wav)))
+    print("[roofline]", rows[-1], file=sys.stderr, flush=True)
+    rows.append(_row("full_step_bf16", *_measure_and_cost(full_bf16, wav)))
+    print("[roofline]", rows[-1], file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "roofline_b512", "batch": B, "K": K,
+        "device": str(jax.devices()[0]),
+        "hbm_peak_gbps": V5E_HBM_GBPS,
+        "mxu_peak_tflops_bf16": V5E_BF16_TFLOPS,
+        "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

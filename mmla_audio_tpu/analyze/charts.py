@@ -36,13 +36,16 @@ _EDGE_STRIDE_S = 2.56   # edge logs carry no timestamps; one row per window
 
 
 def compute_distribution(rows: Sequence[Tuple[int, str, str]],
-                         labels: Sequence[str] | None = None):
+                         labels: Sequence[str] | None = None,
+                         edge_stride_s: float = _EDGE_STRIDE_S):
     """-> (labels, counts, seconds, per-segment label indices, offsets_sec).
 
     Label share of time = count share x (last_ts - first_ts), exactly the
     reference's computation (`overlap_degree_distribution.py:42-65`).
     Handles empty logs (header only — short recordings) and the edge
-    sessions' timestamp-free rows (synthetic 2.56 s-stride offsets)."""
+    sessions' timestamp-free rows (synthetic offsets of ``edge_stride_s``
+    seconds per row — pass ``cfg.audio.window_seconds`` when the pipeline
+    runs a non-default window)."""
     if labels is None:
         labels = []
         for _, lab, _ in rows:
@@ -59,7 +62,7 @@ def compute_distribution(rows: Sequence[Tuple[int, str, str]],
     else:
         # timestamp-free edge log (SI record_on_pi.py:226-251 schema)
         start = None
-        total_seconds = _EDGE_STRIDE_S * max(len(rows) - 1, 0)
+        total_seconds = edge_stride_s * max(len(rows) - 1, 0)
     seg_idx: List[int] = []
     offsets: List[float] = []
     for i, (_, lab, ts) in enumerate(rows):
@@ -69,7 +72,7 @@ def compute_distribution(rows: Sequence[Tuple[int, str, str]],
         counts[lab] += 1
         seg_idx.append(labels.index(lab))
         offsets.append((_parse_ts(ts) - start).total_seconds()
-                       if start is not None else i * _EDGE_STRIDE_S)
+                       if start is not None else i * edge_stride_s)
     n = sum(counts.values())
     seconds = [int(round(counts[lab] / n, 4) * total_seconds) for lab in labels]
     return labels, [counts[lab] for lab in labels], seconds, seg_idx, offsets
@@ -136,8 +139,10 @@ def _bar_svg(labels, seg_idx, offsets, width=1600, lane_h=26) -> str:
             f'{"".join(marks)}{axis}</svg>')
 
 
-def render_chart_html(rows, title: str, labels=None) -> str:
-    labels, counts, seconds, seg_idx, offsets = compute_distribution(rows, labels)
+def render_chart_html(rows, title: str, labels=None,
+                      edge_stride_s: float = _EDGE_STRIDE_S) -> str:
+    labels, counts, seconds, seg_idx, offsets = compute_distribution(
+        rows, labels, edge_stride_s=edge_stride_s)
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html.escape(title)}</title></head>
 <body>
@@ -151,13 +156,17 @@ def render_chart_html(rows, title: str, labels=None) -> str:
 
 
 def visualize_log(log_path, charts_dir, kind: str = "overlap",
-                  labels=None) -> Path:
-    """One log -> experiment/charts/<log>.html."""
+                  labels=None,
+                  edge_stride_s: float = _EDGE_STRIDE_S) -> Path:
+    """One log -> experiment/charts/<log>.html.  ``edge_stride_s``: seconds
+    per row for timestamp-free edge logs (pass cfg.audio.window_seconds for
+    non-default windows)."""
     rows = parse_log(log_path)
     title = "Overlap Degree" if kind == "overlap" else "Speaker Distribution"
     out = Path(charts_dir) / (Path(log_path).stem + ".html")
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(render_chart_html(rows, title, labels))
+    out.write_text(render_chart_html(rows, title, labels,
+                                     edge_stride_s=edge_stride_s))
     return out
 
 

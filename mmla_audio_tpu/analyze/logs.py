@@ -47,6 +47,25 @@ class SessionLog:
         # second header mid-file — parse_log would crash on it
         self._wrote_header = (self.path.exists()
                               and self.path.stat().st_size > 0)
+        self._fh = None
+
+    def _file(self):
+        # persistent append handle: at hundreds of multiplexed streams the
+        # per-row open/close was ~5-20 us x streams per tick; flush after
+        # every row keeps the file readable by concurrent parse_log calls
+        if self._fh is None or self._fh.closed:
+            self._fh = open(self.path, "a")
+        return self._fh
+
+    def close(self) -> None:
+        if self._fh is not None and not self._fh.closed:
+            self._fh.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     @classmethod
     def resume(cls, path, kind: str = "overlap") -> "SessionLog":
@@ -65,21 +84,22 @@ class SessionLog:
         empty conversation must still yield a parseable log (parse_log and
         the chart visualizer open it unconditionally)."""
         if not self._wrote_header:
-            with open(self.path, "a") as f:
-                f.write(self.header + "\n")
+            f = self._file()
+            f.write(self.header + "\n")
+            f.flush()
             self._wrote_header = True
 
     def append(self, label: str, timestamp: datetime | None = None) -> int:
         ts = timestamp if timestamp is not None else datetime.today()
-        mode = "a"
-        with open(self.path, mode) as f:
-            if not self._wrote_header:
-                f.write(self.header + "\n")
-                self._wrote_header = True
-            if self.timestamps:
-                f.write(f"{self.index}\t{label}\t{ts}\n")
-            else:
-                f.write(f"{self.index}\t{label}\n")
+        f = self._file()
+        if not self._wrote_header:
+            f.write(self.header + "\n")
+            self._wrote_header = True
+        if self.timestamps:
+            f.write(f"{self.index}\t{label}\t{ts}\n")
+        else:
+            f.write(f"{self.index}\t{label}\n")
+        f.flush()
         idx = self.index
         self.index += 1
         return idx

@@ -123,4 +123,41 @@ void rb_clear(RingBuffer* rb) {
                    std::memory_order_release);
 }
 
+// Batched consumer for the multi-stream multiplexer: poll every ring once
+// (starting at `start`, wrapping, skipping rings with active[i] == 0) and
+// pop one whole n_win-sample window from each ready ring directly into the
+// rows of the int16 staging matrix `dst` (row-major, n_win columns),
+// beginning at row `row0`.  Ring indices of the popped rows go to
+// `indices[0..popped)`.  Stops after `limit` pops.  Returns pops.
+//
+// One ctypes call replaces N per-stream Python polls + N row copies — the
+// host gather cost of a tick becomes a single C loop over memcpys
+// (VERDICT r2 item 3).  SPSC safety: this is the consumer side, called only
+// from the serving thread.
+uint64_t rb_pop_batch(RingBuffer** rings, uint64_t n_rings, uint64_t start,
+                      const uint8_t* active, uint64_t limit, uint64_t n_win,
+                      int16_t* dst, uint64_t row0, int32_t* indices) {
+    uint64_t popped = 0;
+    for (uint64_t k = 0; k < n_rings && popped < limit; ++k) {
+        const uint64_t i = (start + k) % n_rings;
+        if (!active[i]) continue;
+        RingBuffer* rb = rings[i];
+        const uint64_t head = rb->head.load(std::memory_order_acquire);
+        const uint64_t tail = rb->tail.load(std::memory_order_relaxed);
+        if (head - tail < n_win) continue;
+        const uint64_t mask = rb->capacity - 1;
+        const uint64_t pos = tail & mask;
+        const uint64_t first = n_win < (rb->capacity - pos)
+                                   ? n_win : (rb->capacity - pos);
+        int16_t* row = dst + (row0 + popped) * n_win;
+        std::memcpy(row, rb->data + pos, first * sizeof(int16_t));
+        if (n_win > first)
+            std::memcpy(row + first, rb->data, (n_win - first) * sizeof(int16_t));
+        rb->tail.store(tail + n_win, std::memory_order_release);
+        indices[popped] = (int32_t)i;
+        ++popped;
+    }
+    return popped;
+}
+
 }  // extern "C"

@@ -12,6 +12,17 @@ power spectrum / mel / zcr intermediates in HBM between fusions; here the
 Numerics match the jnp path (full f32 GEMMs); parity is tested per element
 against `overlap_model_input` and the NumPy golden.  Non-TPU backends run
 the kernel in interpreter mode (tests), so the public wrapper is portable.
+
+**Status: measured-neutral reference probe, off by default** (round-3
+verdict, benchmarks/pallas_bench.py on v5e b512 f32): jnp 3.53 ms,
+kernel 4.37 ms, multi-window grouped kernel (G=4, DFT GEMM M-dim 608)
+5.69 ms, G=8 exceeds the 16 MB VMEM scope.  XLA's own fusion of the
+DSP chain already avoids the HBM intermediates this kernel was built to
+remove, and enlarging the GEMM M-dim costs more in VMEM pressure than it
+recovers in MXU tiling.  The module stays as a correctness-pinned Pallas
+reference (both kernels bit-match the jnp path in the suite) and as the
+scaffold for any future trunk-level kernel work; ``use_pallas`` remains
+False in serving configs.
 """
 
 from __future__ import annotations
@@ -76,6 +87,102 @@ def _kernel(fr_ref, fe_ref, cos_ref, sin_ref, mel_ref, out_ref,
     out_ref[0, 2, :, :] = gb
 
 
+def _kernel_grouped(fr_ref, fe_ref, cos_ref, sin_ref, mel_ref, out_ref,
+                    *, win: int, G: int, Tp: int, M: int):
+    """G windows per program: the DFT/mel GEMMs run with M-dim G*Tp
+    (1216 rows at G=8) instead of one window's 151 — the multi-window
+    M-dim lever from the round-2 notes.  Frames arrive padded to Tp=152
+    rows/window (last frame duplicated; harmless for the per-window
+    max/min, sliced off outside)."""
+    f = fr_ref[0]                                   # (G*Tp, win)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    power = re * re + im * im
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)                     # (G*Tp, M)
+    mel3 = mel.reshape(G, Tp, M)
+
+    z = fe_ref[0]                                   # (G*Tp, win)
+    snapped = jnp.where(jnp.abs(z) <= 1e-10, 0.0, z)
+    neg = jnp.signbit(snapped)
+    crossings = (neg[:, 1:] != neg[:, :-1]).astype(jnp.float32)
+    zcr = (jnp.sum(crossings, axis=1) / win).reshape(G, Tp)
+
+    amin = 1e-10
+    for g in range(G):                              # static unroll
+        m = mel3[g]                                 # (Tp, M)
+        ref = jnp.maximum(jnp.max(m), amin)
+        db = 10.0 * jnp.log10(jnp.maximum(m, amin)) - 10.0 * jnp.log10(ref)
+        db = jnp.maximum(db, jnp.max(db) - 80.0)
+        mn, mx = jnp.min(db), jnp.max(db)
+        diff = mx - mn
+        norm = jnp.where(diff > 0,
+                         (db - mn) / jnp.where(diff > 0, diff, 1.0), 0.0)
+        gb = jnp.floor(jnp.clip(1.0 - norm.T, 0.0, 1.0) * 255.0)  # (M, Tp)
+        r = jnp.floor(jnp.clip(
+            jnp.broadcast_to(zcr[g][None, :], gb.shape), 0.0, 1.0) * 255.0)
+        out_ref[0, g, 0, :, :] = r
+        out_ref[0, g, 1, :, :] = gb
+        out_ref[0, g, 2, :, :] = gb
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "group"))
+def _pallas_impl_grouped(y: jnp.ndarray, cfg: OverlapFeatureConfig,
+                         interpret: bool, group: int) -> jnp.ndarray:
+    B = y.shape[0]
+    win, hop = cfg.win_length, cfg.hop_length
+    T, M = cfg.n_frames, cfg.n_mels
+    Tp = -(-T // 8) * 8                             # 151 -> 152 (sublane)
+    bins = win // 2 + 1
+    G = group
+    pad_b = (-B) % G
+    if pad_b:
+        y = jnp.concatenate([y, jnp.zeros((pad_b, y.shape[1]), y.dtype)])
+    nb = (B + pad_b) // G
+
+    xr = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="reflect")
+    xe = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="edge")
+    fr = frame_signal(xr, win, hop, T)
+    fe = frame_signal(xe, win, hop, T)
+    # pad each window to Tp frames (duplicate the last frame) and merge G
+    # windows into one GEMM M-dim
+    fr = jnp.concatenate([fr, fr[:, -(Tp - T):, :]], axis=1) \
+        .reshape(nb, G * Tp, win)
+    fe = jnp.concatenate([fe, fe[:, -(Tp - T):, :]], axis=1) \
+        .reshape(nb, G * Tp, win)
+
+    cos, sin = _dft_basis(win, win, windowed=True)
+    fb = mel_filterbank(cfg.sample_rate, win, M, cfg.fmin, cfg.fmax).T[:, ::-1]
+    fb = np.ascontiguousarray(fb)
+
+    kernel = functools.partial(_kernel_grouped, win=win, G=G, Tp=Tp, M=M)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, G * Tp, win), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G * Tp, win), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, 3, M, Tp), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, G, 3, M, Tp), jnp.float32),
+        interpret=interpret,
+    )(fr, fe, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(fb))
+    out = out.reshape(nb * G, 3, M, Tp)[:B, :, :, :T]
+    return jnp.moveaxis(out, 1, -1)                 # (B, M, T, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def _pallas_impl(y: jnp.ndarray, cfg: OverlapFeatureConfig,
                  interpret: bool) -> jnp.ndarray:
@@ -122,10 +229,15 @@ def _pallas_impl(y: jnp.ndarray, cfg: OverlapFeatureConfig,
 
 
 def overlap_model_input_pallas(y: jnp.ndarray,
-                               cfg: OverlapFeatureConfig = OverlapFeatureConfig()
-                               ) -> jnp.ndarray:
+                               cfg: OverlapFeatureConfig = OverlapFeatureConfig(),
+                               group: int = 1) -> jnp.ndarray:
     """Drop-in fused replacement for ``overlap_model_input`` on batched input
-    ``y (B, n)`` float audio in [-1, 1].  Pads/truncates to cfg.n_samples."""
+    ``y (B, n)`` float audio in [-1, 1].  Pads/truncates to cfg.n_samples.
+
+    ``group > 1`` processes that many windows per kernel program so the DFT
+    and mel GEMMs run with an M-dim of ``group * 152`` rows instead of 151
+    (the multi-window M-dim lever; see benchmarks/pallas_bench.py for the
+    measured verdict)."""
     squeeze = y.ndim == 1
     if squeeze:
         y = y[None]
@@ -134,5 +246,6 @@ def overlap_model_input_pallas(y: jnp.ndarray,
         y = jnp.pad(y, [(0, 0), (0, n - y.shape[-1])])
     y = y[:, :n]
     interpret = jax.default_backend() != "tpu"
-    out = _pallas_impl(y, cfg, interpret)
+    out = _pallas_impl_grouped(y, cfg, interpret, group) if group > 1 \
+        else _pallas_impl(y, cfg, interpret)
     return out[0] if squeeze else out

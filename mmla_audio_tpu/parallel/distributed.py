@@ -56,6 +56,14 @@ def initialize(coordinator_address: Optional[str] = None,
     global _initialized
     if _initialized:
         return
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(a is not None for a in explicit) \
+            and any(a is None for a in explicit):
+        # jax.distributed.initialize requires all three once a coordinator
+        # is named; fail here with a clear message instead of deep inside
+        raise ValueError(
+            "initialize(): coordinator_address, num_processes and "
+            f"process_id must be given together, got {explicit!r}")
     if coordinator_address is None and num_processes is None:
         import os
         # A pod is indicated by an explicit coordinator or a MULTI-worker

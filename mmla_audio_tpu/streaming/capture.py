@@ -22,7 +22,8 @@ import numpy as np
 from mmla_audio_tpu.core.config import AudioConfig
 from mmla_audio_tpu.streaming.native import make_ring
 
-__all__ = ["FakePCMSource", "ArraySource", "PyAudioSource", "CaptureThread"]
+__all__ = ["FakePCMSource", "ArraySource", "PyAudioSource", "CaptureThread",
+           "PrefilledCapture"]
 
 
 class FakePCMSource:
@@ -221,3 +222,30 @@ class CaptureThread:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+
+
+class PrefilledCapture:
+    """A capture whose ring is pre-loaded with an entire replay.
+
+    Serving benchmarks at many hundreds of streams need this: one Python
+    ``CaptureThread`` per stream serializes on the GIL, so beyond ~256
+    threads the producers — not the serving loop — dominate wall clock (in
+    production, capture arrives by hardware DMA / network, not Python
+    threads).  Prefilling every ring up front measures the serving loop
+    proper: gather -> stage -> dispatch -> resolve -> log.
+    """
+
+    def __init__(self, samples: np.ndarray):
+        samples = np.ascontiguousarray(samples, np.int16)
+        self.ring = make_ring(len(samples))
+        pushed = self.ring.push(samples)
+        assert pushed == len(samples), "ring rounded below replay size"
+        self.drained = True             # producer already finished
+        self.source = self
+        self.exhausted = True
+
+    def read_window(self, n_samples: int, timeout: float = 0.0):
+        return self.ring.pop(n_samples)
+
+    def stop(self):
+        pass

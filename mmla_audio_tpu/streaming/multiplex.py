@@ -1,8 +1,12 @@
 """Multi-stream serving: many live conversations, one device program.
 
-The single-chip benchmark sustains tens of thousands of realtime streams ONLY
-if windows from concurrent sessions are batched; the reference architecture
-(one process, one stream, batch 1) cannot use that headroom.  ``Multiplexer``
+The device batch path decides ~19k windows/s per chip (~49k realtime-stream
+equivalents) but only if windows from concurrent sessions are batched; the
+reference architecture (one process, one stream, batch 1) cannot use that
+headroom.  What a deployment sustains end-to-end is the measured
+streams x RTF curve in BENCH_r03 / docs/performance.md (thousands of
+realtime streams per chip host-inclusive; the dev-tunnel numbers there are
+H2D-bandwidth-bound, a co-located host is not).  ``Multiplexer``
 owns k streams, each with its own capture ring, session log, and noise
 profile; every tick it gathers whichever streams have a full 2.56 s window
 ready, stacks them (padding the batch to a fixed bucket size so XLA reuses
@@ -79,7 +83,8 @@ class Multiplexer:
     def __init__(self, predictor, dirs: ExperimentDirs | str, *,
                  kind: str = "overlap", bucket: int | None = None,
                  buckets: Sequence[int] = (8, 64),
-                 min_fill: float = 0.0,
+                 min_fill: float | None = None,
+                 max_pending_ticks: int = 4,
                  cfg: PipelineConfig = PipelineConfig(), mesh=None):
         self.predictor = predictor
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
@@ -93,12 +98,15 @@ class Multiplexer:
         # counts, ring fills stagger (threaded capture), so an eager dispatch
         # pads mostly-empty buckets — measured 4x per-window cost at 256
         # streams.  With min_fill, ready windows accumulate across ticks and
-        # dispatch fires when the top bucket is min_fill full OR when a tick
-        # gathers nothing new (arrival stall / end of streams), so latency
-        # under light traffic is still ~one tick.
-        self.min_fill = float(min_fill)
-        assert 0.0 <= self.min_fill <= 1.0
-        self._pending: List[tuple] = []
+        # dispatch fires when the top bucket is min_fill full, a tick
+        # gathers nothing new (arrival stall / end of streams), or the
+        # oldest pending window has waited ``max_pending_ticks`` ticks (the
+        # latency cap under light-but-steady traffic).  ``None`` = auto:
+        # 0.75 once the stream count reaches the top bucket, else eager —
+        # the measured 3.6x win at 256 streams without hurting small setups.
+        self.min_fill = min_fill
+        assert min_fill is None or 0.0 <= min_fill <= 1.0
+        self.max_pending_ticks = int(max_pending_ticks)
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
@@ -112,17 +120,35 @@ class Multiplexer:
         self._webrtc_states = None
         self._webrtc_n = 0
         self._rr = 0                            # round-robin gather offset
-        self._inflight = None                   # (ready, device labels)
-        # preallocated host staging, TWO buffers per bucket size: the
-        # one-tick pipeline keeps one dispatched batch in flight whose
-        # host->device transfer may still be asynchronous — filling the same
-        # numpy buffer for the next tick would corrupt the in-flight copy
-        # (observed as timing-dependent wrong labels under host load)
+        self._inflight = None                   # (ready streams, labels)
+        # Host staging: gathered windows land DIRECTLY in rows of one
+        # (top_bucket, n_win) int16 matrix (the native batch gather memcpys
+        # straight from the rings; int16 halves the host->device bytes vs
+        # the old float32 staging — the program casts on device).  Dispatch
+        # sends a zero-copy row-slice view sized to the smallest sufficient
+        # bucket.  TWO buffers, flipped per dispatch: the one-tick pipeline
+        # keeps one batch in flight whose host->device transfer may still be
+        # asynchronous — writing the same numpy buffer would corrupt it
+        # (observed as timing-dependent wrong labels under host load).
         n_win = cfg.audio.window_samples
-        self._stage = {b: [np.zeros((b, n_win), np.float32) for _ in range(2)]
-                       for b in self.buckets}
-        self._stage_flip = {b: 0 for b in self.buckets}
+        self._fill = [np.zeros((self.bucket, n_win), np.int16)
+                      for _ in range(2)]
+        self._flip = 0
+        # calibration staging needs the SAME double buffering as the window
+        # matrix: jnp.asarray of a numpy buffer can be zero-copy on some
+        # backends, so rows of an in-flight batch must never be rewritten
+        self._nts = None                        # 2 x (top_bucket, …) lazily
+        self._vts = [np.zeros((self.bucket,), np.float32) for _ in range(2)]
+        self._pending_streams: List[Stream] = []
+        self._pending_ticks = 0
+        self._batch_gather = None               # native gather (lazy)
+        self._gather_dirty = True
         self._build_program()
+
+    @property
+    def _pending(self) -> List[Stream]:
+        # back-compat alias (tests/benchmarks peeked at the pending list)
+        return self._pending_streams
 
     def _build_program(self):
         cfg = self.cfg
@@ -150,7 +176,9 @@ class Multiplexer:
                      gmm_states=None):
             # same chain as the single-stream sessions (preprocess_window),
             # vmapped; per-stream GMM states batch as operands (the sessions
-            # capture theirs as trace constants)
+            # capture theirs as trace constants).  raws arrive int16 (half
+            # the H2D bytes); cast on device.
+            raws = raws.astype(jnp.float32)
             if use_gmm:
                 trimmed, n_out, _ = jax.vmap(
                     lambda r, nt, vt, gs: preprocess_window(
@@ -167,6 +195,7 @@ class Multiplexer:
             # Gather the dispatched streams' detector rows (padded rows pass
             # an out-of-range index: the gather clamps — harmless, their
             # labels are discarded — and the scatter drops them).
+            raws = raws.astype(jnp.float32)
             states = jax.tree_util.tree_map(lambda a: a[idx], all_states)
             trimmed, n_out, new_states = jax.vmap(
                 lambda r, nt, vt, st: preprocess_window(
@@ -226,6 +255,7 @@ class Multiplexer:
             label_names=label_names, gmm_state=gmm_state,
             index=len(self.streams))
         self.streams.append(stream)
+        self._gather_dirty = True
         return stream
 
     def _ensure_webrtc_states(self):
@@ -254,122 +284,192 @@ class Multiplexer:
         return str(label)
 
     # -- serving loop ----------------------------------------------------------------
-    def _try_read(self, stream: Stream, n_win: int):
-        """Non-blocking whole-window read from the stream's ring."""
-        ring = getattr(stream.capture, "ring", None)
-        if ring is None:                    # raw source without a ring
-            return stream.capture.read_window(n_win, timeout=0.0)
-        out = ring.pop(n_win)
-        # `drained` (producer pushed its final chunk) not `source.exhausted`
-        # (which flips true BEFORE the last push and would drop a complete
-        # buffered window)
-        if out is None and getattr(stream.capture, "drained", False) \
-                and ring.available < n_win:
-            ring.clear()
-            stream.done = True
-        return out
+    def _ensure_gather(self):
+        """(Re)build the native batch gather when the stream set changed.
+        Falls back to the per-stream Python poll loop when any stream's ring
+        is not the native SPSC ring (toolchain-less installs, raw sources)."""
+        if not self._gather_dirty:
+            return
+        self._gather_dirty = False
+        self._batch_gather = None
+        try:
+            from mmla_audio_tpu.streaming.native import (BatchGather,
+                                                         NativeRingBuffer)
 
-    def _gather(self, limit: Optional[int] = None) -> List[tuple]:
+            rings = [getattr(s.capture, "ring", None) for s in self.streams]
+            if rings and all(isinstance(r, NativeRingBuffer) for r in rings):
+                self._batch_gather = BatchGather(rings)
+                for s in self.streams:
+                    self._batch_gather.set_active(s.index, not s.done)
+        except (RuntimeError, ImportError):
+            self._batch_gather = None
+        if self._nts is None and self.streams:
+            nt_shape = np.shape(self.streams[0].noise_thresh)
+            self._nts = [np.zeros((self.bucket,) + nt_shape, np.float32)
+                         for _ in range(2)]
+
+    def _mark_done(self, stream: Stream) -> None:
+        stream.done = True
+        if self._batch_gather is not None:
+            self._batch_gather.set_active(stream.index, False)
+
+    def _sweep_done(self) -> None:
+        """Flag streams whose producer drained with less than a window left
+        (run on empty gathers — the only time it can change liveness)."""
+        n_win = self.cfg.audio.window_samples
+        for stream in self.streams:
+            if stream.done:
+                continue
+            ring = getattr(stream.capture, "ring", None)
+            # `drained` (producer pushed its final chunk) not
+            # `source.exhausted` (which flips true BEFORE the last push and
+            # would drop a complete buffered window)
+            if ring is not None:
+                if getattr(stream.capture, "drained", False) \
+                        and ring.available < n_win:
+                    ring.clear()
+                    self._mark_done(stream)
+            elif getattr(stream.capture.source, "exhausted", False):
+                self._mark_done(stream)
+
+    def _gather(self, limit: Optional[int] = None) -> List[Stream]:
         """Poll every stream once, non-blocking, starting at the rotating
-        offset; stop at ``limit`` (default: the largest bucket)."""
+        offset; gathered windows are written straight into rows
+        ``[len(pending):]`` of the current fill buffer (native path: one
+        ``rb_pop_batch`` call).  Returns the streams appended."""
+        self._ensure_gather()
         n_win = self.cfg.audio.window_samples
         n = len(self.streams)
         limit = self.bucket if limit is None else limit
-        ready: List[tuple] = []
-        # webrtc mode: a stream must not contribute two windows to one
-        # dispatched batch (its detector state is sequential — the second
-        # window would see the pre-update state and the scatter of duplicate
-        # rows is unordered), so skip streams with a window already pending.
-        busy = {id(s) for (s, _) in self._pending} if self._use_webrtc \
-            else ()
-        for k in range(n):
-            if len(ready) >= limit:
-                break
-            stream = self.streams[(self._rr + k) % n]
-            if stream.done or id(stream) in busy:
-                continue
-            window = self._try_read(stream, n_win)
-            if window is None:
-                if getattr(stream.capture.source, "exhausted", False) \
-                        and getattr(stream.capture, "ring", None) is None:
-                    stream.done = True
-                continue
-            ready.append((stream, window))
-        if n:
-            self._rr = (self._rr + 1) % n
-        return ready
+        if n == 0 or limit <= 0:
+            return []
+        buf = self._fill[self._flip]
+        k0 = len(self._pending_streams)
+        gathered: List[Stream] = []
 
-    def _dispatch(self, ready: List[tuple]):
-        """Stage into the smallest sufficient bucket and launch the device
-        batch asynchronously; returns the un-fetched device labels."""
-        bucket = next(b for b in self.buckets if b >= len(ready)) \
-            if len(ready) <= self.buckets[-1] else self.buckets[-1]
-        self._stage_flip[bucket] ^= 1
-        raws = self._stage[bucket][self._stage_flip[bucket]]
-        raws[len(ready):] = 0.0
-        nts = np.zeros((bucket,) + np.shape(ready[0][0].noise_thresh),
-                       np.float32)
-        vts = np.zeros((bucket,), np.float32)
-        for i, (stream, window) in enumerate(ready):
-            raws[i] = window
-            nts[i] = stream.noise_thresh
-            vts[i] = stream.vad_threshold_db
+        if self._batch_gather is not None:
+            # webrtc busy-guard: a stream must not contribute two windows to
+            # one batch (sequential detector state) — mask pending streams
+            if self._use_webrtc:
+                for s in self._pending_streams:
+                    self._batch_gather.set_active(s.index, False)
+            idx = self._batch_gather.pop_into(buf, k0, self._rr, limit, n_win)
+            if self._use_webrtc:
+                for s in self._pending_streams:
+                    if not s.done:
+                        self._batch_gather.set_active(s.index, True)
+            nts, vts = self._nts[self._flip], self._vts[self._flip]
+            for r, si in enumerate(idx):
+                stream = self.streams[int(si)]
+                gathered.append(stream)
+                nts[k0 + r] = stream.noise_thresh
+                vts[k0 + r] = stream.vad_threshold_db
+            if not len(idx):
+                self._sweep_done()
+        else:
+            busy = {id(s) for s in self._pending_streams} \
+                if self._use_webrtc else ()
+            for k in range(n):
+                if len(gathered) >= limit:
+                    break
+                stream = self.streams[(self._rr + k) % n]
+                if stream.done or id(stream) in busy:
+                    continue
+                ring = getattr(stream.capture, "ring", None)
+                window = ring.pop(n_win) if ring is not None \
+                    else stream.capture.read_window(n_win, timeout=0.0)
+                if window is None:
+                    continue
+                r = k0 + len(gathered)
+                buf[r] = window
+                self._nts[self._flip][r] = stream.noise_thresh
+                self._vts[self._flip][r] = stream.vad_threshold_db
+                gathered.append(stream)
+            if not gathered:
+                self._sweep_done()
+        self._rr = (self._rr + 1) % n
+        return gathered
+
+    def _dispatch_staged(self):
+        """Launch the staged pending rows as one device batch (async):
+        zero-copy row-slice of the fill buffer into the smallest sufficient
+        bucket, then flip buffers.  Returns (ready streams, device labels)."""
+        ready = self._pending_streams
+        k = len(ready)
+        bucket = next((b for b in self.buckets if b >= k), self.bucket)
+        buf = self._fill[self._flip]
+        buf[k: bucket] = 0
+        self._vts[self._flip][k: bucket] = 0.0
+        if self._nts is not None:
+            self._nts[self._flip][k: bucket] = 0.0
+        raws = jnp.asarray(buf[:bucket])
+        nts = jnp.asarray(self._nts[self._flip][:bucket])
+        vts = jnp.asarray(self._vts[self._flip][:bucket])
         if self._use_webrtc:
             self._ensure_webrtc_states()
             # padded rows index one past the last stream: the state gather
             # clamps (discarded) and the scatter drops
             idx = np.full((bucket,), self._webrtc_n, np.int32)
-            for i, (stream, _) in enumerate(ready):
+            for i, stream in enumerate(ready):
                 idx[i] = stream.index
             labels, self._webrtc_states = self._program(
-                self.predictor.variables, jnp.asarray(raws),
-                jnp.asarray(nts), jnp.asarray(vts), self._webrtc_states,
-                jnp.asarray(idx))
-            return labels
-        if self.cfg.vad.decision == "gmm":
+                self.predictor.variables, raws, nts, vts,
+                self._webrtc_states, jnp.asarray(idx))
+        elif self.cfg.vad.decision == "gmm":
             # batch per-stream GMM states; padded rows reuse the first
             # stream's state (their labels are discarded by _resolve)
-            states = [s.gmm_state for (s, _) in ready]
-            states += [states[0]] * (bucket - len(ready))
+            states = [s.gmm_state for s in ready]
+            states += [states[0]] * (bucket - k)
             gmm_states = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *states)
-            return self._program(self.predictor.variables, jnp.asarray(raws),
-                                 jnp.asarray(nts), jnp.asarray(vts),
-                                 gmm_states)
-        return self._program(self.predictor.variables, jnp.asarray(raws),
-                             jnp.asarray(nts), jnp.asarray(vts))
+            labels = self._program(self.predictor.variables, raws, nts, vts,
+                                   gmm_states)
+        else:
+            labels = self._program(self.predictor.variables, raws, nts, vts)
+        self._pending_streams = []
+        self._pending_ticks = 0
+        self._flip ^= 1
+        return ready, labels
 
     def _resolve(self, inflight) -> int:
         """Fetch a dispatched batch's labels and write the per-stream logs."""
         ready, labels = inflight
         labels = np.asarray(labels)         # the one blocking device fetch
         ts = datetime.today()
-        for i, (stream, _) in enumerate(ready):
+        for i, stream in enumerate(ready):
             name = self._label_name(stream, int(labels[i]))
             idx = stream.log.append(name, ts)
             stream.results.append((idx, name, ts))
         return len(ready)
 
-    def tick(self, timeout: float = 0.0) -> int:
-        """One serving step: gather ready windows (non-blocking), dispatch
-        them, then resolve the PREVIOUS tick's batch — device compute for
-        this tick overlaps the next gather.  Returns windows logged now.
+    def _effective_min_fill(self) -> float:
+        if self.min_fill is not None:
+            return float(self.min_fill)
+        # auto: accumulate once enough streams exist to fill the top bucket
+        # (the measured eager-dispatch cliff), eager below that
+        return 0.75 if len(self.streams) >= self.bucket else 0.0
 
-        With ``min_fill`` set, gathered windows accumulate in ``_pending``
-        and dispatch waits until the top bucket is ``min_fill`` full or a
-        tick arrives with nothing new (stall drain), bounding padding waste
-        at high stream counts without deadlocking at end of streams.
+    def tick(self) -> int:
+        """One serving step: gather ready windows (non-blocking, straight
+        into the staging rows), dispatch them, then resolve the PREVIOUS
+        tick's batch — device compute for this tick overlaps the next
+        gather.  Returns windows logged now.
 
-        ``timeout`` is accepted for backward compatibility and ignored (the
-        gather never blocks)."""
-        new = self._gather(limit=self.bucket - len(self._pending))
-        self._pending.extend(new)
+        Dispatch fires when the top bucket is ``min_fill`` full, a tick
+        gathers nothing new (arrival stall / end of streams), or the oldest
+        pending window has waited ``max_pending_ticks`` ticks — bounding
+        both padding waste at high stream counts and queueing latency under
+        light-but-steady traffic, without deadlocking at end of streams."""
+        new = self._gather(limit=self.bucket - len(self._pending_streams))
+        self._pending_streams.extend(new)
         prev, self._inflight = self._inflight, None
-        if self._pending and (
-                len(self._pending) >= self.min_fill * self.bucket or not new):
-            batch, self._pending = self._pending[: self.bucket], \
-                self._pending[self.bucket:]
-            self._inflight = (batch, self._dispatch(batch))
+        if self._pending_streams:
+            self._pending_ticks += 1
+            if (len(self._pending_streams)
+                    >= self._effective_min_fill() * self.bucket
+                    or not new
+                    or self._pending_ticks >= self.max_pending_ticks):
+                self._inflight = self._dispatch_staged()
         return self._resolve(prev) if prev is not None else 0
 
     def flush(self) -> int:
@@ -379,10 +479,8 @@ class Multiplexer:
         prev, self._inflight = self._inflight, None
         if prev is not None:
             total += self._resolve(prev)
-        while self._pending:
-            batch, self._pending = self._pending[: self.bucket], \
-                self._pending[self.bucket:]
-            total += self._resolve((batch, self._dispatch(batch)))
+        while self._pending_streams:
+            total += self._resolve(self._dispatch_staged())
         return total
 
     def run_until_exhausted(self, max_ticks: int = 100_000) -> int:

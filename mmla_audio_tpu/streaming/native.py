@@ -53,6 +53,14 @@ def load_native():
             fn.argtypes = [ctypes.c_void_p,
                            ctypes.POINTER(ctypes.c_int16), ctypes.c_uint64]
         lib.rb_clear.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "rb_pop_batch"):
+            lib.rb_pop_batch.restype = ctypes.c_uint64
+            lib.rb_pop_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int32)]
         lib.wav_read.restype = ctypes.c_int64
         lib.wav_read.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
@@ -183,6 +191,48 @@ class PyRingBuffer:
     def clear(self):
         with self._lock:
             self._tail = self._head
+
+
+class BatchGather:
+    """One-call window gather across many native rings (rb_pop_batch).
+
+    Holds the ctypes pointer array and active mask for a set of
+    :class:`NativeRingBuffer` instances; ``pop_into`` polls every ring once
+    (rotating start) and copies one whole window per ready ring straight
+    into rows of the caller's int16 staging matrix — the multiplexer's
+    per-stream Python poll/copy loop collapses into a single C loop.
+    """
+
+    def __init__(self, rings):
+        self._lib = load_native()
+        if self._lib is None or not hasattr(self._lib, "rb_pop_batch"):
+            raise RuntimeError("native rb_pop_batch unavailable")
+        if not all(isinstance(r, NativeRingBuffer) for r in rings):
+            raise RuntimeError("all rings must be native")
+        self._rings = list(rings)           # keep refs: prevents rb_destroy
+        n = len(rings)
+        self._ptrs = (ctypes.c_void_p * n)(*[r._ptr for r in rings])
+        self.active = np.ones(n, np.uint8)
+        self._idx = np.empty(n, np.int32)
+
+    def __len__(self):
+        return len(self._rings)
+
+    def set_active(self, i: int, on: bool) -> None:
+        self.active[i] = 1 if on else 0
+
+    def pop_into(self, dst: np.ndarray, row0: int, start: int, limit: int,
+                 n_win: int) -> np.ndarray:
+        """Pop up to ``limit`` windows into ``dst[row0:]``; returns the ring
+        indices of the filled rows (a view — consume before the next call)."""
+        assert dst.dtype == np.int16 and dst.flags.c_contiguous
+        popped = self._lib.rb_pop_batch(
+            self._ptrs, len(self._rings), start,
+            self.active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            limit, n_win,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), row0,
+            self._idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return self._idx[:popped]
 
 
 def make_ring(capacity: int):

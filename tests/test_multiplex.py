@@ -121,14 +121,14 @@ def test_bucket_ladder_and_nonblocking(tmp_path):
     rng = np.random.RandomState(0)
 
     dispatched = []
-    orig = mux._dispatch
+    orig = mux._dispatch_staged
 
-    def spy(ready):
-        out = orig(ready)
-        dispatched.append((len(ready), out.shape[0]))
-        return out
+    def spy():
+        ready, labels = orig()
+        dispatched.append((len(ready), labels.shape[0]))
+        return ready, labels
 
-    mux._dispatch = spy
+    mux._dispatch_staged = spy
 
     noise = (rng.randn(160000) * 20).astype(np.int16)
     # three live streams + one permanently empty (never exhausted) stream
@@ -215,13 +215,14 @@ def test_min_fill_accumulates_then_stall_drains(tmp_path):
     mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap",
                       buckets=(4,), min_fill=0.75, cfg=cfg)
     dispatched = []
-    orig = mux._dispatch
+    orig = mux._dispatch_staged
 
-    def spy(ready):
+    def spy():
+        ready, labels = orig()
         dispatched.append(len(ready))
-        return orig(ready)
+        return ready, labels
 
-    mux._dispatch = spy
+    mux._dispatch_staged = spy
     n_win = cfg.audio.window_samples
     rng = np.random.RandomState(0)
     noise = (rng.randn(160000) * 20).astype(np.int16)

@@ -147,7 +147,10 @@ def test_agreement_bounds():
     from benchmarks.vad_agreement import measure
 
     r = measure(snrs=(20.0, 0.0), n_windows=20)
-    assert r[20.0]["frame_agreement"] >= 0.95
-    assert r[20.0]["label_agreement"] >= 0.95
+    # vs the bit-exact webrtc engine: near-total at high SNR for both
+    assert r[20.0]["energy_vs_webrtc_frame"] >= 0.9
+    assert r[20.0]["energy_vs_webrtc_label"] >= 0.9
+    assert r[20.0]["gmm_vs_webrtc_frame"] >= 0.75
     # mid-SNR: every noise-only window still agrees (half the set)
-    assert r[0.0]["label_agreement"] >= 0.5
+    assert r[0.0]["energy_vs_webrtc_label"] >= 0.5
+    assert r[0.0]["gmm_vs_webrtc_label"] >= 0.5

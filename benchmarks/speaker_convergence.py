@@ -92,17 +92,17 @@ def main():
 
     fcfg = SpeakerFeatureConfig()
 
-    featurize = jax.jit(lambda w: speaker_feature(
-        w, jnp.asarray(N_WIN), fcfg)[0])
+    featurize = jax.jit(jax.vmap(lambda w: speaker_feature(
+        w, jnp.asarray(N_WIN), fcfg)[0]))
 
     def features_for(speaker_seed, n_windows, base_seed):
+        # one batched device call per speaker (a per-window loop costs the
+        # ~0.35 s tunnel round-trip 768 times: 282 s vs ~30 s)
         voice = speaker_voice(speaker_seed)
-        out = np.zeros((n_windows,) + fcfg.feature_shape, np.float32)
-        for w in range(n_windows):
-            wav = synth_utterance(voice, N_WIN,
-                                  base_seed + 7919 * speaker_seed + w)
-            out[w] = np.asarray(featurize(jnp.asarray(wav)))
-        return out
+        wavs = np.stack([synth_utterance(voice, N_WIN,
+                                         base_seed + 7919 * speaker_seed + w)
+                         for w in range(n_windows)])
+        return np.asarray(featurize(jnp.asarray(wavs)))
 
     # ---- base pretrain corpus --------------------------------------------
     ns, npw = args.speakers, args.windows

@@ -1,0 +1,84 @@
+"""Single-window (B=1) serve latency per VAD decision mode.
+
+Completes the VadConfig.decision default measurement (VERDICT r2 item 2):
+the batched cost is in bench.py (`serve_step_ms_vad_*`); this measures the
+single-stream session's fused program — where the webrtc engine's
+sample-serial scans cannot amortize across a batch — against the <50 ms
+p50 window-to-decision BASELINE target.
+
+Usage: python benchmarks/vad_latency.py
+"""
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+K = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.ops.denoise import noise_threshold
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.streaming.session import preprocess_window
+    from mmla_audio_tpu.vad.gmm import gmm_init_from_noise
+    from mmla_audio_tpu.vad.webrtc import webrtc_init
+
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    rng = np.random.RandomState(2)
+    n = 40960
+    buf = jnp.asarray((rng.randn(n) * 3000).astype(np.float32))
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    nt = noise_threshold(jnp.asarray(noise.astype(np.float32) / 32768.0),
+                         PipelineConfig().denoise)
+    vt = jnp.asarray(30.0, jnp.float32)
+
+    out = {"metric": "serve_latency_b1", "K": K,
+           "device": str(jax.devices()[0])}
+    for mode in ("energy", "gmm", "webrtc"):
+        cfg = dataclasses.replace(PipelineConfig(),
+                                  vad=VadConfig(decision=mode))
+        gmm_state = gmm_init_from_noise(noise) if mode == "gmm" else None
+        web_state = webrtc_init() if mode == "webrtc" else None
+
+        @jax.jit
+        def chained(variables, b, _cfg=cfg, _g=gmm_state, _w=web_state):
+            def body(carry, _):
+                trimmed, n_out, _st = preprocess_window(
+                    carry, nt, vt, _cfg, gmm_state=_g, webrtc_state=_w)
+                img = overlap_model_input(
+                    trimmed[: _cfg.overlap_feature.n_samples] / 32768.0,
+                    _cfg.overlap_feature)
+                logits = pred.apply_model(variables, img[None])
+                lab = jnp.argmax(logits[0]).astype(jnp.float32)
+                return carry + lab * 1e-12, lab
+            _, outs = jax.lax.scan(body, b, jnp.arange(K))
+            return outs
+
+        _ = np.asarray(chained(variables, buf)[-1])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(chained(variables, buf)[-1])
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times)) / K * 1e3
+        out[f"b1_step_ms_{mode}"] = round(ms, 3)
+        print(f"[lat] {mode}: {ms:.2f} ms/window", file=sys.stderr,
+              flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,10 @@ class VadConfig:
     # (fast default), "webrtc" = bit-exact webrtcvad fixed-point engine
     # (vad/webrtc.py — reference-faithful, state threads across windows),
     # "gmm" = float WebRTC-architecture 6-band adaptive GMM (vad/gmm.py).
+    # Default measured in round 3 (docs/performance.md): webrtc costs +3.6%
+    # at b512 serving but 133 ms at B=1 (sequential scan depth), breaching
+    # the <50 ms p50 single-stream target — so energy stays default and
+    # webrtc is the reference-faithful opt-in.
     decision: str = "energy"
 
     def __post_init__(self):

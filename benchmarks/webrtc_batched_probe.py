@@ -1,0 +1,65 @@
+"""Batched (vmapped, B=512) webrtc-engine cost — measures just the VAD
+engine the way the Multiplexer's fused program runs it, to attribute the
+serve-chain delta (bench_vad_modes: webrtc +10.4 ms over energy at b512)
+and to A/B the inner-scan unroll restructuring.
+
+K-chained scan with a data dependency, one host sync, divide by K.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = 512
+K = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.vad import webrtc as w
+
+    rng = np.random.RandomState(3)
+    n = 40960
+    x = jnp.asarray((rng.randn(B, n) * 3000).astype(np.int32))
+    st0 = w.webrtc_init((B,))
+
+    engine = jax.vmap(
+        lambda xi, sti: w.webrtc_vad_frames(xi, sti))
+
+    @jax.jit
+    def chained(st, xw):
+        def body(carry, _):
+            st, bump = carry
+            dec, st = engine(xw + bump, st)
+            return (st, jnp.sum(dec.astype(jnp.int32)) * 0), None
+        (st, _), _ = jax.lax.scan(body, (st, jnp.asarray(0, jnp.int32)),
+                                  jnp.arange(K))
+        return st
+
+    t_c0 = time.perf_counter()
+    out = chained(st0, x)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    compile_s = time.perf_counter() - t_c0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(st0, x)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) / K * 1e3
+    print(f"[probe] batched webrtc engine b{B}: {ms:.2f} ms/step "
+          f"(compile {compile_s:.0f} s)", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "webrtc_batched_engine_ms", "B": B, "K": K,
+                      "value": round(ms, 2),
+                      "compile_s": round(compile_s, 1)}))
+
+
+if __name__ == "__main__":
+    main()

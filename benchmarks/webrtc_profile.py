@@ -1,0 +1,130 @@
+"""Locate the B=1 webrtc-engine cost: filterbank scans vs the frame-level
+GMM scan.
+
+The unroll experiment (inner-scan 8-way unrolling) measured neutral at B=1
+(139.5 vs 133.1 ms serve latency), so the sample-serial scan *step count*
+is not the bottleneck.  This probe times the engine's two halves in
+isolation to find what is:
+
+  a) full — webrtc_vad_frames as served (85 frames x (downsample + split
+     filterbank + GMM))
+  b) bank — per-frame downsample + filterbank only (GMM skipped)
+  c) gmm  — frame-level GMM scan only (features precomputed)
+
+Timing discipline per CLAUDE.md: K-step chained lax.scan with a data
+dependency between steps, one host sync, divide by K.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+K = 16
+
+
+def measure(jitted, *args):
+    out = jitted(*args)
+    np.asarray(jax_leaf(out))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        np.asarray(jax_leaf(out))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / K * 1e3
+
+
+def jax_leaf(tree):
+    import jax
+    return jax.tree_util.tree_leaves(tree)[0].ravel()[:1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.vad import webrtc as w
+
+    rng = np.random.RandomState(7)
+    n = 40960
+    x = jnp.asarray((rng.randn(n) * 3000).astype(np.int32))
+    st0 = w.webrtc_init()
+    T = n // 480
+    frames = x[: T * 480].reshape(T, 480)
+
+    # a) full engine, K windows chained through the state + an input bump.
+    @jax.jit
+    def full_chain(st, xw):
+        def body(carry, _):
+            st, bump = carry
+            dec, st = w.webrtc_vad_frames(xw + bump, st)
+            return (st, jnp.sum(dec.astype(jnp.int32)) * 0), None
+        (st, _), _ = jax.lax.scan(body, (st, jnp.asarray(0, jnp.int32)),
+                                  jnp.arange(K))
+        return st
+
+    ms_full = measure(full_chain, st0, x)
+    print(f"[prof] full engine: {ms_full:.2f} ms/window", file=sys.stderr,
+          flush=True)
+
+    # b) filterbank only (downsample + split + log-energy per frame).
+    @jax.jit
+    def bank_chain(st, fr):
+        def window(carry, _):
+            st, bump = carry
+
+            def step(st, frame):
+                f8, ds = w._downsample(frame + bump, st.ds_state)
+                st = st._replace(ds_state=ds)
+                feats, te, st = w._calculate_features(f8, st)
+                return st, jnp.sum(feats) + te
+
+            st, sums = jax.lax.scan(step, st, fr)
+            return (st, jnp.sum(sums) * 0), None
+
+        (st, _), _ = jax.lax.scan(window, (st, jnp.asarray(0, jnp.int32)),
+                                  jnp.arange(K))
+        return st
+
+    ms_bank = measure(bank_chain, st0, frames)
+    print(f"[prof] filterbank only: {ms_bank:.2f} ms/window",
+          file=sys.stderr, flush=True)
+
+    # c) GMM scan only: synthetic per-frame features.
+    feats = jnp.asarray(rng.randint(0, 2000, size=(T, 6)), jnp.int32)
+    power = jnp.asarray(rng.randint(11, 4000, size=(T,)), jnp.int32)
+
+    @jax.jit
+    def gmm_chain(st, ft, pw):
+        def window(carry, _):
+            st, bump = carry
+
+            def step(st, inp):
+                f, p = inp
+                vad, st = w._gmm_probability(st, f + bump, p, 3, 2)
+                return st, vad
+
+            st, vads = jax.lax.scan(step, st, (ft, pw))
+            return (st, jnp.sum(vads) * 0), None
+
+        (st, _), _ = jax.lax.scan(window, (st, jnp.asarray(0, jnp.int32)),
+                                  jnp.arange(K))
+        return st
+
+    ms_gmm = measure(gmm_chain, st0, feats, power)
+    print(f"[prof] gmm scan only: {ms_gmm:.2f} ms/window", file=sys.stderr,
+          flush=True)
+
+    print(json.dumps({"metric": "webrtc_profile_b1", "K": K,
+                      "full_ms": round(ms_full, 2),
+                      "bank_ms": round(ms_bank, 2),
+                      "gmm_ms": round(ms_gmm, 2)}))
+
+
+if __name__ == "__main__":
+    main()

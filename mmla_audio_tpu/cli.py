@@ -90,7 +90,7 @@ def cmd_setup(args):
 
 
 def _live_cfg(args):
-    """PipelineConfig for live commands, honoring --vad."""
+    """PipelineConfig honoring --vad (live, post-time, and offline runs)."""
     import dataclasses
 
     from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
@@ -181,11 +181,10 @@ def cmd_speaker_live(args):
 
 def cmd_overlap_post(args):
     from mmla_audio_tpu.analyze.post_time import overlap_post_analyze
-    from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.data.wavio import read_wav
     from mmla_audio_tpu.utils.experiment import bootstrap
 
-    cfg = PipelineConfig()
+    cfg = _live_cfg(args)
     dirs = bootstrap(args.root)
     noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
     pred = _predictor_overlap(
@@ -197,11 +196,10 @@ def cmd_overlap_post(args):
 
 def cmd_speaker_post(args):
     from mmla_audio_tpu.analyze.post_time import speaker_post_analyze
-    from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.data.wavio import read_wav
     from mmla_audio_tpu.utils.experiment import bootstrap
 
-    cfg = PipelineConfig()
+    cfg = _live_cfg(args)
     dirs = bootstrap(args.root)
     noise = read_wav(dirs.noise_path)[0] if dirs.noise_path.exists() else None
     n_speakers = len(list(dirs.corpus.glob("*.wav"))) or None
@@ -378,7 +376,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="mmla_audio_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    def common(p, live=False):
+    def common(p, live=False, vad=True):
         p.add_argument("--root", default="experiment")
         p.add_argument("--ckpt", default=None)
         p.add_argument("--precision", choices=["default", "highest"],
@@ -387,6 +385,15 @@ def main(argv=None):
                             "labels bit-stable across TPU/CPU (~2x overlap "
                             "step cost, ~6%% speaker; see "
                             "benchmarks/tpu_cpu_parity.py)")
+        if vad:
+            # not on overlap-run: the reference's offline file runner has no
+            # VAD (overlap_detector_run.py; silent gate is raw length only)
+            p.add_argument("--vad", choices=["energy", "gmm", "webrtc"],
+                           default=None,
+                           help="per-frame VAD decision: calibrated energy "
+                                "(default), WebRTC-architecture float GMM, "
+                                "or bit-exact webrtcvad (reference-faithful; "
+                                "host-native engine on post-time paths)")
         if live:
             p.add_argument("--fake", action="store_true",
                            help="deterministic PCM source instead of microphone")
@@ -395,11 +402,6 @@ def main(argv=None):
             p.add_argument("--windows", type=int, default=None)
             p.add_argument("--calibrate-seconds", type=float, default=None)
             p.add_argument("--save-recordings", action="store_true")
-            p.add_argument("--vad", choices=["energy", "gmm", "webrtc"],
-                           default=None,
-                           help="per-frame VAD decision: calibrated energy "
-                                "(default), WebRTC-architecture float GMM, "
-                                "or bit-exact webrtcvad (reference-faithful)")
 
     p = sub.add_parser("setup")
     p.add_argument("--root", default="experiment")
@@ -431,7 +433,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_speaker_post)
 
     p = sub.add_parser("overlap-run")
-    common(p)
+    common(p, vad=False)
     p.add_argument("-f", "--file", default=None)
     p.add_argument("-dir", "--dir", default=None)
     p.add_argument("--parity", action="store_true")

@@ -13,6 +13,7 @@ from mmla_audio_tpu.vad.gmm import (
     gmm_vad,
 )
 from mmla_audio_tpu.vad.webrtc import (
+    VadBox,
     WebRtcVad,
     WebRtcVadState,
     webrtc_init,
@@ -30,6 +31,7 @@ __all__ = [
     "band_log_energies",
     "gmm_init_from_noise",
     "gmm_vad",
+    "VadBox",
     "WebRtcVad",
     "WebRtcVadState",
     "webrtc_init",

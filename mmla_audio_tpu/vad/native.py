@@ -1,0 +1,182 @@
+"""Host-native webrtcvad (ctypes over ``native/webrtcvad.cpp``).
+
+Placement rationale (measured, benchmarks/webrtc_profile.py): the WebRTC
+filterbank is a cascade of sample-serial int16 IIRs — ~99 ms of the 102 ms
+B=1 JAX-engine step on the chip, dependency-chain-bound on the scalar path
+(an 8-way scan unroll was neutral at B=1).  The same serial work is sub-ms
+on the host CPU, so single-stream and offline host paths use this engine;
+the vmapped JAX engine (``vad.webrtc``) keeps the batched device path,
+where each scan step amortizes into a (B,)-lane VPU op (the unroll there
+is a measured 1.96x: 5.92 vs 11.61 ms/step at b512).
+
+Both engines are bit-identical to the transcription golden
+(``tests/golden/webrtc_vad_ref.py``) — decisions AND full internal state —
+so a session may hand state between them (``state_array`` round-trips in
+the JAX ``WebRtcVadState`` field order).
+
+Reference behavior served: ``webrtcvad.Vad(3)``
+(`/root/reference/OverlapDetection/scripts/record_on_pc.py:33,229-295`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from mmla_audio_tpu.streaming.native import load_native
+
+__all__ = ["native_available", "NativeWebRtcVad"]
+
+_configured = False
+
+
+def _lib():
+    global _configured
+    lib = load_native()
+    if lib is None or not hasattr(lib, "wv_create"):
+        return None
+    if not _configured:
+        lib.wv_create.restype = ctypes.c_void_p
+        lib.wv_create.argtypes = [ctypes.c_int]
+        lib.wv_destroy.argtypes = [ctypes.c_void_p]
+        lib.wv_set_mode.restype = ctypes.c_int
+        lib.wv_set_mode.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.wv_process.restype = ctypes.c_int64
+        lib.wv_process.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.wv_state_slots.restype = ctypes.c_int
+        lib.wv_state_slots.argtypes = []
+        lib.wv_get_state.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
+        lib.wv_set_state.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
+        _configured = True
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+class NativeWebRtcVad:
+    """``webrtcvad.Vad``-compatible detector backed by the C++ engine.
+
+    Long-lived like the reference's module-level instance; feed frames via
+    :meth:`is_speech` (one frame) or :meth:`decisions` (a whole buffer of
+    contiguous frames in one native call).
+    """
+
+    def __init__(self, mode: int = 3):
+        if mode not in (0, 1, 2, 3):
+            raise ValueError(f"invalid aggressiveness mode: {mode}")
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native webrtcvad unavailable "
+                               "(libmmla_host.so failed to build/load)")
+        self._libref = lib
+        self.mode = mode
+        self._inst = lib.wv_create(mode)
+        if not self._inst:
+            raise RuntimeError("wv_create failed")
+
+    def __del__(self):
+        inst = getattr(self, "_inst", None)
+        if inst:
+            self._libref.wv_destroy(inst)
+            self._inst = None
+
+    def set_mode(self, mode: int) -> None:
+        if self._libref.wv_set_mode(self._inst, mode) != 0:
+            raise ValueError(f"invalid aggressiveness mode: {mode}")
+        self.mode = mode
+
+    def decisions(self, x_i16, frame_len: int = 480,
+                  sample_rate: int = 16000) -> np.ndarray:
+        """Per-frame speech decisions over all complete frames of ``x``,
+        advancing the held state.  Returns a bool array of n//frame_len."""
+        x = np.ascontiguousarray(np.asarray(x_i16), dtype=np.int16)
+        n = x.shape[-1]
+        n_frames = n // frame_len
+        out = np.zeros(max(n_frames, 1), np.uint8)
+        got = self._libref.wv_process(
+            self._inst, x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            n_frames * frame_len, frame_len, sample_rate,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if got < 0:
+            raise ValueError(
+                f"invalid frame length {frame_len} @ {sample_rate} Hz")
+        return out[:n_frames].astype(bool)
+
+    def is_speech(self, frame, sample_rate: int = 16000) -> bool:
+        frame = np.frombuffer(bytes(frame), dtype="<i2") \
+            if isinstance(frame, (bytes, bytearray)) else np.asarray(frame)
+        dec = self.decisions(frame, frame_len=len(frame),
+                             sample_rate=sample_rate)
+        if dec.shape[0] != 1:
+            raise ValueError(f"invalid frame length {len(frame)} "
+                             f"@ {sample_rate} Hz")
+        return bool(dec[0])
+
+    # -- state interchange with the JAX engine ------------------------------
+    @property
+    def state_array(self) -> np.ndarray:
+        """Full detector state as int32, in WebRtcVadState field order:
+        ds(2) upper(5) lower(5) hp(4) nm(12) sm(12) ns(12) ss(12)
+        low_values(96) ages(96) mean_value(6) frame_counter over_hang
+        num_of_speech."""
+        n = self._libref.wv_state_slots()
+        out = np.zeros(n, np.int32)
+        self._libref.wv_get_state(
+            self._inst, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    @state_array.setter
+    def state_array(self, arr) -> None:
+        arr = np.ascontiguousarray(np.asarray(arr), dtype=np.int32)
+        if arr.shape != (self._libref.wv_state_slots(),):
+            raise ValueError(f"state must have "
+                             f"{self._libref.wv_state_slots()} slots")
+        self._libref.wv_set_state(
+            self._inst, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+    def jax_state(self):
+        """Current state as a :class:`~mmla_audio_tpu.vad.webrtc.WebRtcVadState`."""
+        from mmla_audio_tpu.vad.webrtc import WebRtcVadState
+        import jax.numpy as jnp
+        a = self.state_array
+
+        def take(n, shape=None):
+            nonlocal a
+            part, a = a[:n], a[n:]
+            part = jnp.asarray(part, jnp.int32)
+            return part.reshape(shape) if shape else part
+
+        return WebRtcVadState(
+            ds_state=take(2), upper_state=take(5), lower_state=take(5),
+            hp_state=take(4), noise_means=take(12, (2, 6)),
+            speech_means=take(12, (2, 6)), noise_stds=take(12, (2, 6)),
+            speech_stds=take(12, (2, 6)), low_values=take(96, (6, 16)),
+            ages=take(96, (6, 16)), mean_value=take(6),
+            frame_counter=take(1)[0], over_hang=take(1)[0],
+            num_of_speech=take(1)[0])
+
+    def load_jax_state(self, st) -> None:
+        """Adopt a :class:`WebRtcVadState` (e.g. to continue a device-side
+        session on the host)."""
+        parts = [np.asarray(st.ds_state).ravel(),
+                 np.asarray(st.upper_state).ravel(),
+                 np.asarray(st.lower_state).ravel(),
+                 np.asarray(st.hp_state).ravel(),
+                 np.asarray(st.noise_means).ravel(),
+                 np.asarray(st.speech_means).ravel(),
+                 np.asarray(st.noise_stds).ravel(),
+                 np.asarray(st.speech_stds).ravel(),
+                 np.asarray(st.low_values).ravel(),
+                 np.asarray(st.ages).ravel(),
+                 np.asarray(st.mean_value).ravel(),
+                 np.asarray(st.frame_counter).ravel(),
+                 np.asarray(st.over_hang).ravel(),
+                 np.asarray(st.num_of_speech).ravel()]
+        self.state_array = np.concatenate(parts).astype(np.int32)

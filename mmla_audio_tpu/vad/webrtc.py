@@ -163,6 +163,41 @@ def webrtc_init(batch_shape: tuple[int, ...] = ()) -> WebRtcVadState:
 # ---------------------------------------------------------------------------
 
 
+def _unroll_factor(n: int) -> int:
+    """Serial scans are scan-step-overhead-bound at small batch; unrolling U
+    iterations per step (pure restructuring — arithmetic order unchanged,
+    bit-exactness preserved) divides the step count.  Short sequences skip
+    the scan entirely."""
+    if n <= 16:
+        return n
+    for u in (8, 4, 2):
+        if n % u == 0:
+            return u
+    return 1
+
+
+def _serial(step, carry, xs, n: int):
+    """lax.scan with U-way inner unrolling; ``step(carry, x) -> (carry, y)``
+    over ``xs`` with static leading length n."""
+    u = _unroll_factor(n)
+
+    def block(carry, xb):
+        ys = []
+        for i in range(u):
+            carry, y = step(carry, jax.tree_util.tree_map(
+                lambda a: a[i], xb))
+            ys.append(y)
+        return carry, jnp.stack(ys)
+
+    if u == n:                       # fully unrolled: no scan at all
+        carry, ys = block(carry, xs)
+        return carry, ys
+    xb = jax.tree_util.tree_map(
+        lambda a: a.reshape((n // u, u) + a.shape[1:]), xs)
+    carry, ys = jax.lax.scan(block, carry, xb)
+    return carry, ys.reshape((n,) + ys.shape[2:])
+
+
 def _downsample(frame, st):
     """(2n,) int32 @16 kHz -> (n,) @8 kHz; allpass pair, Q13, int32 state."""
     pairs = frame.reshape(-1, 2)
@@ -176,7 +211,7 @@ def _downsample(frame, st):
         s2 = x1 - ((_AP_Q13[1] * t2) >> 12)
         return (s1, s2), _s16(t1 + t2)
 
-    (s1, s2), out = jax.lax.scan(step, (st[0], st[1]), pairs)
+    (s1, s2), out = _serial(step, (st[0], st[1]), pairs, pairs.shape[0])
     return out, jnp.stack([s1, s2])
 
 
@@ -196,12 +231,12 @@ def _allpass_pair(even, odd, ust, lst):
         su = ((xu << 14) - c0 * tu) << 1
         tl = _s16((sl + c1 * xl) >> 16)
         sl = ((xl << 14) - c1 * tl) << 1
-        return (su, sl), (tu, tl)
+        return (su, sl), jnp.stack([tu, tl])
 
     init = (ust << 16, lst << 16)
-    (su, sl), (hp, lp) = jax.lax.scan(step, init,
-                                      (jnp.stack([even, odd], -1)))
-    return hp, lp, _s16(su >> 16), _s16(sl >> 16)
+    (su, sl), out = _serial(step, init, jnp.stack([even, odd], -1),
+                            even.shape[-1])
+    return out[..., 0], out[..., 1], _s16(su >> 16), _s16(sl >> 16)
 
 
 def _split(data, ust, lst):
@@ -219,8 +254,8 @@ def _hp80(data, st):
         y = _s16(t >> 14)
         return (x, z0, y, p0), y
 
-    (z0, z1, p0, p1), out = jax.lax.scan(
-        step, (st[0], st[1], st[2], st[3]), data)
+    (z0, z1, p0, p1), out = _serial(
+        step, (st[0], st[1], st[2], st[3]), data, data.shape[-1])
     return out, jnp.stack([z0, z1, p0, p1])
 
 
@@ -572,20 +607,57 @@ class VadBox:
     is shared by every trim in a post-processing run
     (`record_on_pc.py:33`; both post-processing scripts import its
     collector).  Pass the same box to successive ``standardize_audio`` /
-    post-time calls to reproduce that cross-file state ordering."""
+    post-time calls to reproduce that cross-file state ordering.
 
-    def __init__(self, mode: int = 3):
+    Host calls are backed by the native C++ engine when available (the
+    sample-serial filterbank is dependency-chain-bound on the TPU scalar
+    path — ~99 ms/window at B=1, sub-ms on the host CPU; see
+    ``vad.native``), falling back to the jitted JAX engine.  Both are
+    bit-identical to the transcription golden, and ``state`` exposes /
+    adopts the JAX :class:`WebRtcVadState` either way, so device-side scans
+    (e.g. the post-time per-segment program) interoperate with the native
+    box transparently."""
+
+    def __init__(self, mode: int = 3, prefer_native: bool = True):
         if mode not in (0, 1, 2, 3):
             raise ValueError(f"invalid aggressiveness mode: {mode}")
         self.mode = mode
-        self.state = webrtc_init()
+        self._native = None
+        if prefer_native:
+            try:
+                from mmla_audio_tpu.vad.native import (
+                    NativeWebRtcVad,
+                    native_available,
+                )
+                if native_available():
+                    self._native = NativeWebRtcVad(mode)
+            except Exception:          # noqa: BLE001 — fall back to JAX
+                self._native = None
+        self._jax_state = webrtc_init() if self._native is None else None
+
+    @property
+    def state(self) -> WebRtcVadState:
+        """Detector state as the JAX pytree (regardless of backend)."""
+        if self._native is not None:
+            return self._native.jax_state()
+        return self._jax_state
+
+    @state.setter
+    def state(self, st: WebRtcVadState) -> None:
+        if self._native is not None:
+            self._native.load_jax_state(st)
+        else:
+            self._jax_state = st
 
     def decisions(self, x_i16, frame_len: int = 480,
                   sample_rate: int = 16000) -> np.ndarray:
         """Per-frame decisions over ``x`` (only complete frames), advancing
         the held state."""
-        dec, self.state = _jitted_frames(
-            jnp.asarray(np.asarray(x_i16, np.int32)), self.state,
+        if self._native is not None:
+            return self._native.decisions(x_i16, frame_len=frame_len,
+                                          sample_rate=sample_rate)
+        dec, self._jax_state = _jitted_frames(
+            jnp.asarray(np.asarray(x_i16, np.int32)), self._jax_state,
             mode=self.mode, frame_len=frame_len, sample_rate=sample_rate)
         return np.asarray(dec)
 

@@ -1,0 +1,165 @@
+"""Bit-parity suite for the host-native (C++) webrtcvad engine.
+
+Same contract as ``tests/test_vad_webrtc.py`` pins for the JAX engine:
+per-frame decisions AND the full internal state must match the
+transcription golden (``tests/golden/webrtc_vad_ref.py``).  Additionally
+pins the cross-engine state interchange — a session may run the filterbank
+on the host (single-stream low latency) and hand the detector state to the
+batched device engine, or vice versa, without a single-bit divergence.
+"""
+
+import numpy as np
+import pytest
+
+from tests.golden.webrtc_vad_ref import WebRtcVadRef
+from tests.test_vad_webrtc import (
+    _engine_decisions,
+    _golden_decisions,
+    _signals,
+)
+
+native = pytest.importorskip("mmla_audio_tpu.vad.native")
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(),
+    reason="libmmla_host.so unavailable (no native toolchain)")
+
+
+def _golden_state_array(gv: WebRtcVadRef) -> np.ndarray:
+    """The golden's state in the wv_get_state slot order."""
+    return np.concatenate([
+        np.array(gv.downsampling_filter_states),
+        np.array(gv.upper_state), np.array(gv.lower_state),
+        np.array(gv.hp_filter_state),
+        np.array(gv.noise_means), np.array(gv.speech_means),
+        np.array(gv.noise_stds), np.array(gv.speech_stds),
+        np.array(gv.low_value_vector), np.array(gv.index_vector),
+        np.array(gv.mean_value),
+        np.array([gv.frame_counter, gv.over_hang, gv.num_of_speech]),
+    ]).astype(np.int32)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_bit_parity_all_modes(mode):
+    for name, sig in _signals().items():
+        g, gv = _golden_decisions(sig, mode)
+        v = native.NativeWebRtcVad(mode)
+        got = v.decisions(sig)
+        assert np.array_equal(g, got), (name, mode)
+        assert np.array_equal(v.state_array, _golden_state_array(gv)), \
+            (name, mode)
+
+
+@pytest.mark.parametrize("frame_len,sample_rate", [
+    (160, 16000), (320, 16000), (80, 8000), (160, 8000), (240, 8000)])
+def test_bit_parity_other_geometries(frame_len, sample_rate):
+    rng = np.random.default_rng(11)
+    t = np.arange(sample_rate) / sample_rate
+    sig = (4000 * (np.sin(2 * np.pi * 2 * t) > 0)
+           * np.sin(2 * np.pi * 250 * t)
+           + 300 * rng.standard_normal(len(t))).astype(np.int16)
+    g, gv = _golden_decisions(sig, 3, frame_len, sample_rate)
+    v = native.NativeWebRtcVad(3)
+    got = v.decisions(sig, frame_len=frame_len, sample_rate=sample_rate)
+    assert np.array_equal(g, got)
+    assert np.array_equal(v.state_array, _golden_state_array(gv))
+
+
+def test_is_speech_api():
+    sig = _signals()["speechy"]
+    gv = WebRtcVadRef(3)
+    v = native.NativeWebRtcVad(3)
+    for i in range(20):
+        fr = sig[i * 480: (i + 1) * 480]
+        assert v.is_speech(fr.tobytes()) == gv.is_speech(fr.tobytes())
+    with pytest.raises(ValueError):
+        v.is_speech(sig[:100])
+    with pytest.raises(ValueError):
+        v.is_speech(sig[:480], sample_rate=44100)
+    with pytest.raises(ValueError):
+        native.NativeWebRtcVad(5)
+
+
+def test_state_threads_across_windows():
+    sig = _signals(seconds=3.0)["speechy"]
+    full = native.NativeWebRtcVad(3).decisions(sig)
+    v = native.NativeWebRtcVad(3)
+    parts = []
+    n = 480 * 20
+    for k in range(0, len(sig) - n + 1, n):
+        parts.append(v.decisions(sig[k: k + n]))
+    got = np.concatenate(parts)
+    assert np.array_equal(full[: len(got)], got)
+
+
+def test_state_array_roundtrip():
+    """Exporting the state into a fresh instance continues identically."""
+    sig = _signals()["noise"]
+    half = len(sig) // 2
+    v1 = native.NativeWebRtcVad(2)
+    d1 = v1.decisions(sig[:half])
+    v2 = native.NativeWebRtcVad(2)
+    v2.state_array = v1.state_array
+    d2a = v1.decisions(sig[half:])
+    d2b = v2.decisions(sig[half:])
+    assert np.array_equal(d2a, d2b)
+    cont = native.NativeWebRtcVad(2).decisions(sig)
+    assert np.array_equal(np.concatenate([d1, d2a]),
+                          cont[: len(d1) + len(d2a)])
+
+
+def test_cross_engine_handoff_native_to_jax():
+    """Native first half -> JAX engine second half == golden continuous."""
+    sig = _signals(seconds=2.0)["speechy"]
+    half = (len(sig) // (2 * 480)) * 480
+    g, _ = _golden_decisions(sig, 3)
+    v = native.NativeWebRtcVad(3)
+    d1 = v.decisions(sig[:half])
+    d2, _ = _engine_decisions_with_state(sig[half:], v.jax_state())
+    got = np.concatenate([d1, d2])
+    assert np.array_equal(g[: len(got)], got)
+
+
+def test_cross_engine_handoff_jax_to_native():
+    """JAX engine first half -> native second half == golden continuous."""
+    sig = _signals(seconds=2.0)["noise"]
+    half = (len(sig) // (2 * 480)) * 480
+    g, _ = _golden_decisions(sig, 3)
+    d1, jst = _engine_decisions(sig[:half], 3)
+    v = native.NativeWebRtcVad(3)
+    v.load_jax_state(jst)
+    d2 = v.decisions(sig[half:])
+    got = np.concatenate([d1, d2])
+    assert np.array_equal(g[: len(got)], got)
+
+
+def _engine_decisions_with_state(sig, st, mode=3):
+    import jax.numpy as jnp
+    from tests.test_vad_webrtc import _jit_frames
+    dec, st = _jit_frames(jnp.asarray(np.asarray(sig, np.int32)), st,
+                          mode=mode, frame_len=480, sample_rate=16000)
+    return np.asarray(dec), st
+
+
+def test_vadbox_backend_equivalence():
+    """A native-backed VadBox and a JAX-backed one produce identical
+    decisions and interchangeable state across calls."""
+    from mmla_audio_tpu.vad.webrtc import VadBox
+
+    sig = _signals(seconds=2.0)["quiet_speech"]
+    bn = VadBox(3)
+    bj = VadBox(3, prefer_native=False)
+    assert bn._native is not None     # environment has the toolchain
+    assert bj._native is None
+    n = 480 * 15
+    for k in range(0, len(sig) - n + 1, n):
+        dn = bn.decisions(sig[k: k + n])
+        dj = bj.decisions(sig[k: k + n])
+        assert np.array_equal(dn, dj)
+    # state views agree leaf-by-leaf
+    sn, sj = bn.state, bj.state
+    for a, b in zip(sn, sj):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # and a device-side scan's state can be written back into the native box
+    bn.state = sj
+    assert np.array_equal(bn.decisions(sig[:n]), bj.decisions(sig[:n]))

@@ -1,0 +1,140 @@
+"""Stage-level profile of the denoise chain at b512 — the pre-decision
+serve chain (denoise -> VAD -> trim) measures ~10x the model step
+(bench_vad_modes: 292.8 ms vs batch_step 26.9 ms at b512), and denoise is
+its only heavy stage.  Break it down:
+
+  stft       forward DFT GEMMs on the padded signal (HIGHEST precision)
+  mask       dB + threshold + smoothing conv
+  iframes    inverse DFT GEMMs (bins -> time frames)
+  oadd       overlap-add scatter (.at[idx].add) + wsq normalize + trim
+  full       whole reduce_noise pass
+
+Each timed as a K-chained jitted scan (CLAUDE.md timing discipline).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = 512
+K = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import DenoiseConfig, PipelineConfig
+    from mmla_audio_tpu.ops import denoise as dn
+
+    cfg = DenoiseConfig()
+    sr = 16000
+    n = 40960
+    rng = np.random.RandomState(2)
+    y = jnp.asarray((rng.randn(B, n) * 0.1).astype(np.float32))
+    noise = jnp.asarray((rng.randn(160000) * 0.01).astype(np.float32))
+    nt = dn.noise_threshold(noise, cfg)
+    filt = jnp.asarray(dn.smoothing_filter(
+        sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
+        cfg.time_mask_smooth_ms))
+
+    pad_cfg = [(0, 0), (dn._chunk_pad(cfg, sr), dn._chunk_pad(cfg, sr))]
+
+    def stft_stage(yy):
+        yp = jnp.pad(yy, pad_cfg)
+        re, im = dn._stft_ri(yp, cfg.n_fft, cfg.hop_length)
+        return re, im
+
+    def mask_stage(re, im):
+        # mirrors reduce_noise's current smoothing (banded-GEMM factored
+        # form; the old C_in=1 conv2d form measured 215.7 ms here)
+        v_f, v_t = dn._smoothing_factors(
+            sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
+            cfg.time_mask_smooth_ms)
+        mag = jnp.sqrt(re * re + im * im)
+        db = dn.amp_to_db(mag, reduce_axes=(-2, -1))
+        mask = (db > nt).astype(jnp.float32)
+        mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+        mf = jnp.asarray(dn._band_matrix(v_f, mask.shape[-1]))
+        mt = jnp.asarray(dn._band_matrix(v_t, mask.shape[-2]))
+        sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        sm = jnp.einsum("...tk,ts->...sk", sm, mt,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        return sm
+
+    def iframes_stage(re, im):
+        _, _, ic, isn = dn._bases(cfg.n_fft)
+        x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+             - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+        return x
+
+    def oadd_stage(x):
+        # production reshape/pad overlap-add (the scatter .at[idx].add form
+        # this replaced measured 20.6 ms here)
+        w_np = np.asarray(dn.hann_periodic(cfg.n_fft), np.float64)
+        xw = x * jnp.asarray(w_np, jnp.float32)
+        T = x.shape[-2]
+        n_fft, hop = cfg.n_fft, cfg.hop_length
+        total = n_fft + (T - 1) * hop
+        r = n_fft // hop
+        blocks = xw.reshape(xw.shape[:-2] + (T, r, hop))
+        parts = []
+        for j in range(r):
+            b = blocks[..., :, j, :]
+            pad = [(0, 0)] * (b.ndim - 2) + [(j, r - 1 - j), (0, 0)]
+            parts.append(jnp.pad(b, pad))
+        yy = sum(parts).reshape(xw.shape[:-2] + (total,))
+        wsq_np = np.zeros(total, np.float64)
+        for t in range(T):
+            wsq_np[t * hop: t * hop + n_fft] += w_np * w_np
+        return yy / jnp.asarray(np.maximum(wsq_np, 1e-10), jnp.float32)
+
+    def timed(name, fn, *args):
+        @jax.jit
+        def chained(*a):
+            def body(carry, _):
+                out = fn(carry, *a[1:])
+                lead = out[0] if isinstance(out, tuple) else out
+                bump = jnp.sum(lead) * 0
+                return carry + bump, None
+            c, _ = jax.lax.scan(body, a[0], jnp.arange(K))
+            return c
+        out = chained(*args)
+        np.asarray(out.ravel()[:1])
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = chained(*args)
+            np.asarray(out.ravel()[:1])
+            times.append(time.perf_counter() - t0)
+        ms = float(np.min(times)) / K * 1e3
+        print(f"[dn] {name}: {ms:.2f} ms", file=sys.stderr, flush=True)
+        return ms
+
+    re, im = stft_stage(y)
+    re, im = jax.block_until_ready(re), jax.block_until_ready(im)
+    x = iframes_stage(re, im)
+
+    out = {"metric": "denoise_profile_b512", "K": K}
+    out["stft_ms"] = round(timed("stft", lambda yy: stft_stage(yy)[0], y), 2)
+    out["mask_ms"] = round(timed(
+        "mask", lambda r, i: mask_stage(r, i), re, im), 2)
+    out["iframes_ms"] = round(timed(
+        "iframes", lambda r, i: iframes_stage(r, i), re, im), 2)
+    out["oadd_ms"] = round(timed("oadd", lambda xx: oadd_stage(xx), x), 2)
+    out["full_ms"] = round(timed(
+        "full", lambda yy: dn.reduce_noise(yy, nt, cfg, sr=sr), y), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,9 @@ def cmd_overlap_live(args):
                                   save_recordings=args.save_recordings)
     else:
         sess = OverlapSession(pred, cap, args.root, cfg=cfg,
-                              save_recordings=args.save_recordings)
+                              save_recordings=args.save_recordings,
+                              host_preprocess=getattr(
+                                  args, "host_preprocess", False))
     cal_s = args.calibrate_seconds or cfg.audio.noise_profile_seconds
     print(f"[INFO] calibrating ambient noise ({cal_s:.0f}s)...")
     sess.calibrate(args.calibrate_seconds)
@@ -145,7 +147,9 @@ def cmd_speaker_live(args):
                                   save_recordings=args.save_recordings)
     else:
         sess = SpeakerSession(pred, cap, args.root, cfg=cfg,
-                              save_recordings=args.save_recordings)
+                              save_recordings=args.save_recordings,
+                              host_preprocess=getattr(
+                                  args, "host_preprocess", False))
     print("[INFO] calibrating ambient noise...")
     sess.calibrate(args.calibrate_seconds)
 
@@ -402,6 +406,11 @@ def main(argv=None):
             p.add_argument("--windows", type=int, default=None)
             p.add_argument("--calibrate-seconds", type=float, default=None)
             p.add_argument("--save-recordings", action="store_true")
+            p.add_argument("--host-preprocess", action="store_true",
+                           help="with --vad webrtc: run denoise + VAD on the "
+                                "host (native C++ engine) and ship only the "
+                                "trimmed window to the device — the "
+                                "single-stream low-latency arrangement")
 
     p = sub.add_parser("setup")
     p.add_argument("--root", default="experiment")

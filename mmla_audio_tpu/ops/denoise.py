@@ -48,6 +48,29 @@ def quantize_i16(y):
 _PAD = 30_000  # noisereduce chunk padding
 
 
+def _chunk_pad(cfg: DenoiseConfig, sr: int) -> int:
+    """Effective zero-pad per side.
+
+    noisereduce pads each chunk with 30 000 zeros, but only the frames
+    within the time-smoothing half-width (+ the ISTFT/reflect edges) of the
+    signal influence the output — the rest are all-zero frames whose mask
+    value is constant.  Use the smallest pad that (a) preserves the
+    30 000-pad frame-grid phase (pad ≡ 30 000 mod hop, so every
+    signal-overlapping frame is sample-identical) and (b) keeps all edge
+    effects inside the zero region: time-smoothing half-width * hop plus
+    2 * n_fft of ISTFT/centering margin.  Output equals the full-pad form
+    within fp tolerance (pinned by test_denoise).  Cuts the padded length
+    (and the STFT/ISTFT GEMM work) ~2.2x at the default geometry."""
+    _, v_t = _smoothing_factors(
+        sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
+        cfg.time_mask_smooth_ms)
+    margin = (len(v_t) // 2) * cfg.hop_length + 2 * cfg.n_fft
+    rem = _PAD % cfg.hop_length
+    pad = rem + cfg.hop_length * (
+        (margin - rem + cfg.hop_length - 1) // cfg.hop_length)
+    return min(pad, _PAD)
+
+
 @functools.lru_cache(maxsize=None)
 def _bases(n_fft: int):
     """Windowed forward rDFT bases and inverse (bins -> time) bases."""
@@ -91,23 +114,40 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
                     precision=jax.lax.Precision.HIGHEST)
          - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST))
-    w = jnp.asarray(hann_periodic(n_fft))
-    xw = x * w                                            # synthesis window
+    w_np = np.asarray(hann_periodic(n_fft), np.float64)
+    xw = x * jnp.asarray(w_np, jnp.float32)               # synthesis window
     T = x.shape[-2]
     total = n_fft + (T - 1) * hop
-    # scatter-add frames at t*hop
-    idx = (np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    idx = jnp.asarray(idx)
-
-    def oadd(frames_flat):
-        return jnp.zeros((total,), jnp.float32).at[idx].add(frames_flat)
-
     batch = xw.shape[:-2]
-    flat = xw.reshape((-1, T * n_fft))
-    y = jax.vmap(oadd)(flat).reshape(batch + (total,))
-    wsq = jnp.zeros((total,), jnp.float32).at[idx].add(
-        jnp.tile(w * w, (T,)))
-    y = y / jnp.maximum(wsq, 1e-10)
+    if n_fft % hop == 0:
+        # hop divides n_fft (the noisereduce geometry: 1024/256): each frame
+        # contributes r = n_fft//hop aligned hop-blocks, so overlap-add is r
+        # shifted pads summed — pure vector ops.  The scatter formulation
+        # (.at[idx].add over T*n_fft indices) serializes on TPU and
+        # dominated the whole denoise chain (benchmarks/denoise_profile.py).
+        r = n_fft // hop
+        blocks = xw.reshape(batch + (T, r, hop))
+        parts = []
+        for j in range(r):
+            b = blocks[..., :, j, :]                      # (..., T, hop)
+            pad = [(0, 0)] * len(batch) + [(j, r - 1 - j), (0, 0)]
+            parts.append(jnp.pad(b, pad))
+        y = sum(parts).reshape(batch + (total,))
+    else:
+        idx = (np.arange(T)[:, None] * hop
+               + np.arange(n_fft)[None, :]).reshape(-1)
+        idx = jnp.asarray(idx)
+
+        def oadd(frames_flat):
+            return jnp.zeros((total,), jnp.float32).at[idx].add(frames_flat)
+
+        flat = xw.reshape((-1, T * n_fft))
+        y = jax.vmap(oadd)(flat).reshape(batch + (total,))
+    # squared-window normalization is input-independent: precompute on host
+    wsq_np = np.zeros(total, np.float64)
+    for t in range(T):
+        wsq_np[t * hop: t * hop + n_fft] += w_np * w_np
+    y = y / jnp.asarray(np.maximum(wsq_np, 1e-10), jnp.float32)
     start = n_fft // 2
     return y[..., start: start + out_len]
 
@@ -128,6 +168,19 @@ def amp_to_db(x: jnp.ndarray, top_db: float = 80.0,
 def smoothing_filter(sr: int, n_fft: int, hop: int,
                      freq_hz: float, time_ms: float) -> np.ndarray:
     """noisereduce's outer triangular mask-smoothing kernel, sum-normalized."""
+    v_f, v_t = _smoothing_factors(sr, n_fft, hop, freq_hz, time_ms)
+    return np.outer(v_f, v_t).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _smoothing_factors(sr: int, n_fft: int, hop: int,
+                       freq_hz: float, time_ms: float
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """The smoothing kernel's rank-1 factors (it is an outer product of two
+    triangular windows), each carrying half the sum-normalization.  The
+    smoothing is applied as two banded-GEMM 1-D convolutions — the 2-D
+    C_in=1 spatial conv form runs off the MXU and measured 216 ms of the
+    266 ms b512 denoise chain (benchmarks/denoise_profile.py)."""
     n_grad_freq = int(freq_hz / (sr / (n_fft / 2)))
     n_grad_time = int(time_ms / ((hop / sr) * 1000))
     v_f = np.concatenate([
@@ -138,8 +191,21 @@ def smoothing_filter(sr: int, n_fft: int, hop: int,
         np.linspace(0, 1, n_grad_time + 1, endpoint=False),
         np.linspace(1, 0, n_grad_time + 2),
     ])[1:-1]
-    f = np.outer(v_f, v_t)
-    return (f / f.sum()).astype(np.float32)
+    total = v_f.sum() * v_t.sum()
+    scale = np.sqrt(total)
+    return ((v_f / scale).astype(np.float64),
+            (v_t / scale).astype(np.float64))
+
+
+def _band_matrix(v: np.ndarray, n: int) -> np.ndarray:
+    """(n, n) matrix M with ``(x @ M)[i] = sum_k v[k] * x[i + c - k]``
+    (zero-padded 'same' true convolution with the odd-length kernel v)."""
+    c = len(v) // 2
+    m = np.zeros((n, n), np.float64)
+    for d, val in enumerate(v):
+        # out[i] = sum_d v[d] * x[i + c - d]  =>  x[m] feeds out[m + d - c]
+        m += np.eye(n, k=d - c) * val
+    return m.astype(np.float32)
 
 
 def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
@@ -157,7 +223,8 @@ def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
 def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
                  cfg: DenoiseConfig = DenoiseConfig(),
                  sr: int = 16_000, passes: int = 1,
-                 quantize_between_passes: bool = True) -> jnp.ndarray:
+                 quantize_between_passes: bool = True,
+                 full_pad: bool = False) -> jnp.ndarray:
     """Denoise ``y (..., n)`` (float [-1, 1]) against a precomputed threshold.
 
     ``passes`` > 1 re-applies the gate (reference applies x3/x4 on some
@@ -166,13 +233,19 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
     int16; ``quantize_between_passes`` reproduces that.  The threshold is
     computed ONCE per session from the calibration clip — exactly the
     reference's flow, where the noise profile never changes between passes.
+
+    ``full_pad`` forces noisereduce's literal 30 000-sample chunk padding;
+    the default uses the phase-aligned short pad (see :func:`_chunk_pad`),
+    equal within fp tolerance at ~2.2x less STFT/ISTFT work.
     """
     n = y.shape[-1]
-    pad_cfg = [(0, 0)] * (y.ndim - 1) + [(_PAD, _PAD)]
-    filt = jnp.asarray(smoothing_filter(
+    pad = _PAD if full_pad else _chunk_pad(cfg, sr)
+    pad_cfg = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    v_f, v_t = _smoothing_factors(
         sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
-        cfg.time_mask_smooth_ms))
+        cfg.time_mask_smooth_ms)
 
+    mf = mt = None
     for pass_idx in range(passes):
         if pass_idx > 0 and quantize_between_passes:
             y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) / 32768.0
@@ -182,23 +255,25 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         db = amp_to_db(mag, reduce_axes=(-2, -1))
         mask = (db > noise_thresh).astype(jnp.float32)
         mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
-        # 'same' 2-D convolution over (freq, time); mask is (..., T, K) so
-        # transpose to (..., K, T) to match the (freq, time) kernel.
-        m = jnp.swapaxes(mask, -1, -2)
-        batch = m.shape[:-2]
-        m4 = m.reshape((-1, 1) + m.shape[-2:])
-        k4 = filt[None, None, :, :]
-        sm = jax.lax.conv_general_dilated(
-            m4, jnp.flip(k4, axis=(-1, -2)),              # convolution, not corr
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            # feature-parity contraction: the smoothed mask multiplies the
-            # STFT that every downstream feature consumes — TPU's default
-            # single bf16 MXU pass would diverge from the CPU golden
-            precision=jax.lax.Precision.HIGHEST)
-        mask = jnp.swapaxes(sm.reshape(batch + m.shape[-2:]), -1, -2)
+        # 'same' 2-D smoothing convolution.  The kernel is rank-1
+        # (outer(v_f, v_t)), so it factors into two 1-D convolutions, each
+        # expressed as a banded-matrix GEMM — MXU-resident.  The literal
+        # C_in=1 spatial-conv form runs off the MXU and measured 216 ms of
+        # the 266 ms b512 chain (benchmarks/denoise_profile.py).
+        if mf is None:
+            mf = jnp.asarray(_band_matrix(v_f, mask.shape[-1]))   # (K, K)
+            mt = jnp.asarray(_band_matrix(v_t, mask.shape[-2]))   # (T, T)
+        # feature-parity contraction: the smoothed mask multiplies the
+        # STFT every downstream feature consumes — TPU's default single
+        # bf16 MXU pass would diverge from the CPU golden
+        sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)      # freq axis
+        sm = jnp.einsum("...tk,ts->...sk", sm, mt,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)      # time axis
+        mask = sm
         re = re * mask
         im = im * mask
         y = _istft(re, im, cfg.n_fft, cfg.hop_length, yp.shape[-1])
-        y = y[..., _PAD: _PAD + n]
+        y = y[..., pad: pad + n]
     return y

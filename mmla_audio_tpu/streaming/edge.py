@@ -69,6 +69,12 @@ class EdgeOverlapSession(StreamingSession):
     def __init__(self, predictor, capture, dirs, gate: Optional[GateSource] = None,
                  ssim_threshold: float = 0.3,
                  cfg: PipelineConfig = PipelineConfig(), **kw):
+        if kw.get("host_preprocess"):
+            # the edge pipelines (x4 denoise + SSIM gate / AOT identify
+            # loop) have their own fused programs; the host split is a
+            # single-stream PC-session arrangement
+            raise ValueError("host_preprocess is not supported on edge "
+                             "sessions")
         super().__init__(capture, dirs, cfg=cfg,
                          gate=gate or GateSource(pressed=True), **kw)
         self.predictor = predictor
@@ -138,6 +144,9 @@ class EdgeSpeakerSession(SpeakerSession):
     def __init__(self, predictor, capture, dirs,
                  gate: Optional[GateSource] = None,
                  cfg: PipelineConfig = PipelineConfig(), **kw):
+        if kw.get("host_preprocess"):
+            raise ValueError("host_preprocess is not supported on edge "
+                             "sessions")
         super().__init__(predictor, capture, dirs, cfg=cfg,
                          gate=gate or GateSource(pressed=True), **kw)
         # swap in the timestamp-free Pi log schema at the same path

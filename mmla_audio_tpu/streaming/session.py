@@ -111,12 +111,22 @@ class StreamingSession:
                  save_recordings: bool = False,
                  now: Optional[datetime] = None,
                  telemetry=None,
-                 gate=None):
+                 gate=None,
+                 host_preprocess: bool = False):
         # telemetry: analyze.telemetry.TelemetryClient — the reference's
         # (commented-out) Adafruit-IO POST per prediction; no-op when unset.
         # gate: streaming.edge.GateSource — the Pi runners' button-gated
         # suspend/resume state machine (record_on_pi.py:139-159); capture is
         # suspended while the gate is released.  None = always-on.
+        # host_preprocess: run denoise + webrtc VAD + trim on the host (CPU
+        # backend + native C++ engine) and ship only the trimmed window to
+        # the device for features+model.  This is the single-stream
+        # low-latency arrangement for the reference-faithful detector: the
+        # webrtc filterbank is sample-serial and dependency-chain-bound on
+        # the TPU scalar path (~99 ms/window at B=1, sub-ms on host —
+        # benchmarks/webrtc_profile.py), while batched serving amortizes it
+        # across streams and stays fully on-device.  Requires
+        # cfg.vad.decision == "webrtc" and the native library.
         self.telemetry = telemetry
         self.gate = gate
         self.capture = capture
@@ -138,6 +148,38 @@ class StreamingSession:
         # return the updated state.
         self.vad_state = webrtc_init() if cfg.vad.decision == "webrtc" \
             else None
+        self._host_vad = None
+        self._noise_thresh_cpu = None
+        if host_preprocess:
+            if cfg.vad.decision != "webrtc":
+                raise ValueError(
+                    "host_preprocess is the low-latency arrangement for the "
+                    "webrtc decision; set cfg.vad.decision='webrtc'")
+            from mmla_audio_tpu.vad.native import (
+                NativeWebRtcVad,
+                native_available,
+            )
+            if not native_available():
+                raise RuntimeError(
+                    "host_preprocess requires the native webrtcvad engine "
+                    "(libmmla_host.so failed to build/load)")
+            self._host_vad = NativeWebRtcVad(cfg.vad.aggressiveness)
+            self._cpu = jax.devices("cpu")[0]
+            sr = cfg.audio.sample_rate
+
+            def _denoise_chain(raw_i16f, nt):
+                y = raw_i16f / 32768.0
+                y = reduce_noise(y, nt, cfg.denoise, sr=sr,
+                                 passes=cfg.denoise.passes_live)
+                return _quantize_i16(y)
+
+            # placement follows the CPU-committed noise threshold; the raw
+            # window arrives as an uncommitted numpy array
+            self._host_denoise = jax.jit(_denoise_chain)
+            self._host_trim = jax.jit(
+                lambda i16, n, dec: vad_trim(
+                    i16, n, dec, int(sr * cfg.vad.frame_ms / 1000),
+                    cfg.vad.ring_frames))
         self._count = 0
 
     # -- calibration ---------------------------------------------------------
@@ -164,6 +206,11 @@ class StreamingSession:
         self.noise_thresh = noise_threshold(jnp.asarray(nf), self.cfg.denoise)
         self.vad_threshold_db = calibrate_threshold(
             noise_i16, self.cfg.vad.aggressiveness)
+        if self._host_vad is not None:
+            # CPU-committed copy so the host denoise chain executes on the
+            # host backend (placement follows the committed operand)
+            self._noise_thresh_cpu = jax.device_put(
+                np.asarray(self.noise_thresh), self._cpu)
         if self.cfg.vad.decision == "gmm":
             # WebRTC-architecture GMM initialised from the ambient profile;
             # captured as a trace-time constant, so rebuild the fused
@@ -184,6 +231,26 @@ class StreamingSession:
         gmm = self.gmm_state if cfg.vad.decision == "gmm" else None
         return preprocess_window(raw_i16f, noise_thresh, vad_thr, cfg,
                                  gmm_state=gmm, webrtc_state=vad_state)
+
+    def _host_window(self, window_i16: np.ndarray):
+        """Host half of the low-latency split: CPU denoise -> native webrtc
+        decisions -> CPU trim.  Returns ``(trimmed int16 (n_win,), n_out)``
+        ready for ``predictor.predict`` (which re-applies the silent gate).
+        Numerically the same chain as ``preprocess_window``; the VAD state
+        lives in the native engine instead of a device operand."""
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+        i16 = self._host_denoise(window_i16.astype(np.float32),
+                                 self._noise_thresh_cpu)
+        i16_np = np.asarray(i16).astype(np.int16)
+        frame_len = int(sr * cfg.vad.frame_ms / 1000)
+        T = frame_count(len(i16_np), frame_len)
+        decisions = self._host_vad.decisions(i16_np[: T * frame_len],
+                                             frame_len=frame_len,
+                                             sample_rate=sr)
+        trimmed, n_out = self._host_trim(i16, jnp.asarray(len(i16_np)),
+                                         jnp.asarray(decisions))
+        return np.asarray(trimmed).astype(np.int16), int(n_out)
 
     # -- loop -------------------------------------------------------------------
     def run(self, max_windows: Optional[int] = None,
@@ -263,6 +330,14 @@ class OverlapSession(StreamingSession):
         self._fused = jax.jit(fused)
 
     def process_window(self, window_i16: np.ndarray):
+        if self._host_vad is not None:
+            trimmed, n_out = self._host_window(window_i16)
+            labels, probs = self.predictor.predict(
+                trimmed[None], np.asarray([n_out], np.int32))
+            label = int(np.asarray(labels)[0])
+            probs = np.asarray(probs)[0]
+            name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
+            return name, probs
         label, probs, _, state = self._fused(
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),
@@ -287,6 +362,15 @@ class SpeakerSession(StreamingSession):
         self._rebuild_fused()
 
     def process_window(self, window_i16: np.ndarray):
+        if self._host_vad is not None:
+            trimmed, n_out = self._host_window(window_i16)
+            labels, probs = self.predictor.predict(
+                trimmed[None], np.asarray([n_out], np.int32))
+            label = int(np.asarray(labels)[0])
+            probs = np.asarray(probs)[0]
+            name = "silent" if label < 0 else \
+                self.speaker_id_dict.get(str(label), str(label))
+            return name, probs
         label, probs, _, state = self._fused(
             self.predictor.variables,
             jnp.asarray(window_i16.astype(np.float32)),

@@ -95,3 +95,65 @@ def test_multi_pass():
     out1 = np.asarray(reduce_noise(jnp.asarray(window), thr, passes=1))
     out3 = np.asarray(reduce_noise(jnp.asarray(window), thr, passes=3))
     assert np.sqrt((out3 ** 2).mean()) <= np.sqrt((out1 ** 2).mean()) + 1e-9
+
+
+def test_banded_gemm_smoothing_matches_conv2d():
+    """The rank-1 factored banded-GEMM smoothing must equal the literal 2-D
+    'same' convolution with the outer-product kernel (the noisereduce form)."""
+    import scipy.signal
+
+    from mmla_audio_tpu.ops.denoise import (
+        _band_matrix,
+        _smoothing_factors,
+        smoothing_filter,
+    )
+
+    sr, n_fft, hop = 16000, 1024, 256
+    filt = smoothing_filter(sr, n_fft, hop, 500.0, 50.0)
+    v_f, v_t = _smoothing_factors(sr, n_fft, hop, 500.0, 50.0)
+    # factors reassemble the kernel exactly
+    np.testing.assert_allclose(np.outer(v_f, v_t), filt, atol=1e-8)
+
+    rng = np.random.RandomState(5)
+    T, K = 47, 61
+    mask = (rng.rand(T, K) > 0.5).astype(np.float32)
+    # reference: true 2-D convolution over (freq, time) = (K, T) layout
+    ref = scipy.signal.convolve2d(mask.T, filt, mode="same").T
+
+    mf = _band_matrix(v_f, K)
+    mt = _band_matrix(v_t, T)
+    got = np.asarray(jnp.einsum(
+        "tk,ts->sk", jnp.asarray(mask) @ jnp.asarray(mf), jnp.asarray(mt)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_short_pad_matches_full_pad():
+    """The phase-aligned short chunk pad must reproduce the literal
+    30000-sample noisereduce padding to fp tolerance (the frame grid over
+    the signal is sample-identical; all edge effects stay in the zero
+    region)."""
+    from mmla_audio_tpu.ops.denoise import (
+        _chunk_pad,
+        noise_threshold,
+        reduce_noise,
+    )
+    from mmla_audio_tpu.core.config import DenoiseConfig
+
+    cfg = DenoiseConfig()
+    pad = _chunk_pad(cfg, 16000)
+    assert pad < 30000 and pad % cfg.hop_length == 30000 % cfg.hop_length
+
+    rng = np.random.RandomState(11)
+    t = np.arange(40960) / 16000.0
+    sig = (0.3 * np.sin(2 * np.pi * 300 * t)
+           * (np.sin(2 * np.pi * 1.3 * t) > 0)
+           + 0.01 * rng.randn(len(t))).astype(np.float32)
+    noise = (0.01 * rng.randn(160000)).astype(np.float32)
+    nt = noise_threshold(jnp.asarray(noise), cfg)
+
+    for passes in (1, 3):
+        short = np.asarray(reduce_noise(jnp.asarray(sig), nt, cfg,
+                                        passes=passes))
+        full = np.asarray(reduce_noise(jnp.asarray(sig), nt, cfg,
+                                       passes=passes, full_pad=True))
+        np.testing.assert_allclose(short, full, atol=2e-6)

@@ -301,3 +301,61 @@ def test_capture_suspend_parks_producer_and_clears_ring():
     w = cap.read_window(40960, timeout=5.0)
     assert w is not None and events == ["suspend", "resume"]
     cap.stop()
+
+
+def test_host_preprocess_matches_device_webrtc(tmp_path):
+    """The host-preprocess split (CPU denoise + native webrtc + CPU trim +
+    predictor) must label identically to the fully-fused device program in
+    webrtc mode — on the CPU test backend the two chains are numerically
+    the same program, so labels and VAD adaptation must agree exactly."""
+    pytest.importorskip("mmla_audio_tpu.vad.native")
+    from mmla_audio_tpu.vad.native import native_available
+    if not native_available():
+        pytest.skip("native webrtcvad unavailable")
+
+    import dataclasses
+    cfg = dataclasses.replace(PipelineConfig(),
+                              vad=dataclasses.replace(PipelineConfig().vad,
+                                                      decision="webrtc"))
+    samples = np.concatenate([
+        synth_speech_i16(40960, seed=1),
+        np.zeros(40960, np.int16),
+        synth_speech_i16(40960, seed=2),
+    ])
+    noise = (np.random.RandomState(3).randn(160000) * 20).astype(np.int16)
+    model = OverlapResBLSTM()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    def run(host):
+        pred = OverlapPredictor(variables)
+        cap = CaptureThread(ArraySource(samples)).start()
+        sess = OverlapSession(pred, cap,
+                              tmp_path / f"exp_host{int(host)}", cfg=cfg,
+                              host_preprocess=host)
+        sess.set_noise_profile(noise)
+        results = sess.run(max_windows=3)
+        cap.stop()
+        return sess, [r[1] for r in results]
+
+    sess_d, labels_d = run(False)
+    sess_h, labels_h = run(True)
+    assert labels_h == labels_d
+    assert labels_h[1] == "silent"
+    # VAD adaptation advanced identically on both sides
+    dev_state = sess_d.vad_state
+    host_state = sess_h._host_vad.jax_state()
+    for a, b in zip(dev_state, host_state):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_preprocess_requires_webrtc(tmp_path):
+    pytest.importorskip("mmla_audio_tpu.vad.native")
+    from mmla_audio_tpu.vad.native import native_available
+    if not native_available():
+        pytest.skip("native webrtcvad unavailable")
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    cap = CaptureThread(ArraySource(np.zeros(40960, np.int16))).start()
+    with pytest.raises(ValueError, match="webrtc"):
+        OverlapSession(pred, cap, tmp_path / "exp", host_preprocess=True)
+    cap.stop()

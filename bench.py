@@ -189,6 +189,89 @@ def bench_vad_modes(n_samples):
     return results
 
 
+def bench_b1_host_split(n_samples):
+    """Single-stream reference-faithful serving, host-preprocess
+    arrangement: CPU denoise + native webrtc VAD + trim on the host, device
+    runs features+model on the trimmed window.  Returns (host_ms, dev_ms)
+    per window — their sum is the co-located-host window-to-decision
+    latency (the full-device webrtc program measures ~139 ms at B=1:
+    sample-serial filterbank scans, benchmarks/webrtc_profile.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.ops.denoise import (
+        noise_threshold,
+        quantize_i16,
+        reduce_noise,
+    )
+    from mmla_audio_tpu.vad.collector import frame_count, vad_trim
+    from mmla_audio_tpu.vad.native import NativeWebRtcVad, native_available
+
+    if not native_available():
+        raise RuntimeError("native webrtcvad unavailable")
+    cfg = PipelineConfig()
+    sr = cfg.audio.sample_rate
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.RandomState(2)
+    raw = (rng.randn(n_samples) * 3000).astype(np.float32)
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    nt_cpu = jax.device_put(np.asarray(noise_threshold(
+        jnp.asarray(noise.astype(np.float32) / 32768.0), cfg.denoise)), cpu)
+
+    def _dn(r, t):
+        y = r / 32768.0
+        y = reduce_noise(y, t, cfg.denoise, sr=sr,
+                         passes=cfg.denoise.passes_live)
+        return quantize_i16(y)
+
+    dn = jax.jit(_dn)
+    fl = int(sr * cfg.vad.frame_ms / 1000)
+    tr = jax.jit(lambda i, m, d: vad_trim(i, m, d, fl, cfg.vad.ring_frames))
+    vad = NativeWebRtcVad(cfg.vad.aggressiveness)
+
+    def host_chain():
+        i16 = dn(raw, nt_cpu)
+        i16_np = np.asarray(i16).astype(np.int16)
+        T = frame_count(len(i16_np), fl)
+        dec = vad.decisions(i16_np[: T * fl], fl, sr)
+        trimmed, n_out = tr(
+            i16, jax.device_put(np.int32(len(i16_np)), cpu),
+            jax.device_put(dec, cpu))
+        return np.asarray(trimmed).astype(np.int16), int(n_out)
+
+    trimmed, n_out = host_chain()                         # compile
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        host_chain()
+    host_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+    buf1 = jnp.asarray(trimmed[None])
+    n1 = jnp.asarray([max(n_out, 4000)], np.int32)
+
+    @jax.jit
+    def dev_chain(v, b, m):
+        def body(carry, _):
+            labels, _ = pred._forward(v, carry, m)
+            return carry + labels.astype(carry.dtype)[:, None] * 0, labels[0]
+        _, outs = jax.lax.scan(body, b, jnp.arange(K))
+        return outs
+
+    _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
+        times.append(time.perf_counter() - t0)
+    dev_ms = float(np.median(times)) / K * 1e3
+    return host_ms, dev_ms
+
+
 def bench_speaker(window_sec, n_samples):
     import jax
     import jax.numpy as jnp
@@ -353,9 +436,16 @@ def main():
         out[f"live_rtf_{n_streams}_streams"] = round(rtf_n, 1)
         out[f"live_{n_streams}_per_window_ms"] = round(per_win * 1000.0, 2)
 
+    def _b1_host():
+        host_ms, dev_ms = bench_b1_host_split(n_samples)
+        out["b1_host_chain_ms"] = round(host_ms, 2)
+        out["b1_device_step_ms"] = round(dev_ms, 2)
+        out["b1_webrtc_host_ms"] = round(host_ms + dev_ms, 2)
+
     for name, fn in (
         ("speaker", lambda: bench_speaker(window_sec, n_samples)),
         ("vad_modes", _vad),
+        ("b1_host_split", _b1_host),
         ("registration", bench_registration),
         ("live64", lambda: _live(64, reps=2)),
         ("live256", lambda: _live(256)),

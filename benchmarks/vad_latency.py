@@ -114,8 +114,9 @@ def main():
             i16_np = np.asarray(i16).astype(np.int16)
             T = frame_count(len(i16_np), frame_len)
             dec = vad.decisions(i16_np[: T * frame_len], frame_len, sr)
-            trimmed, n_out = host_trim(i16, jnp.asarray(len(i16_np)),
-                                       jnp.asarray(dec))
+            trimmed, n_out = host_trim(
+                i16, jax.device_put(np.int32(len(i16_np)), cpu),
+                jax.device_put(dec, cpu))
             return np.asarray(trimmed).astype(np.int16), int(n_out)
 
         host_chain()                                  # compile CPU programs

@@ -248,8 +248,13 @@ class StreamingSession:
         decisions = self._host_vad.decisions(i16_np[: T * frame_len],
                                              frame_len=frame_len,
                                              sample_rate=sr)
-        trimmed, n_out = self._host_trim(i16, jnp.asarray(len(i16_np)),
-                                         jnp.asarray(decisions))
+        # pin every operand to the host device: a bare jnp.asarray would
+        # place uncommitted data on the DEFAULT (accelerator) device and
+        # smuggle device round-trips into the host chain (measured: +76 ms
+        # through the dev tunnel)
+        trimmed, n_out = self._host_trim(
+            i16, jax.device_put(np.int32(len(i16_np)), self._cpu),
+            jax.device_put(decisions, self._cpu))
         return np.asarray(trimmed).astype(np.int16), int(n_out)
 
     # -- loop -------------------------------------------------------------------

@@ -202,45 +202,19 @@ def bench_b1_host_split(n_samples):
     from mmla_audio_tpu.core.config import PipelineConfig
     from mmla_audio_tpu.inference import OverlapPredictor
     from mmla_audio_tpu.models.overlap import OverlapResBLSTM
-    from mmla_audio_tpu.ops.denoise import (
-        noise_threshold,
-        quantize_i16,
-        reduce_noise,
-    )
-    from mmla_audio_tpu.vad.collector import frame_count, vad_trim
-    from mmla_audio_tpu.vad.native import NativeWebRtcVad, native_available
+    from mmla_audio_tpu.ops.denoise import noise_threshold
+    from mmla_audio_tpu.streaming.hostpre import HostPreprocessor
 
-    if not native_available():
-        raise RuntimeError("native webrtcvad unavailable")
     cfg = PipelineConfig()
-    sr = cfg.audio.sample_rate
-    cpu = jax.devices("cpu")[0]
     rng = np.random.RandomState(2)
     raw = (rng.randn(n_samples) * 3000).astype(np.float32)
     noise = (rng.randn(160000) * 20).astype(np.int16)
-    nt_cpu = jax.device_put(np.asarray(noise_threshold(
-        jnp.asarray(noise.astype(np.float32) / 32768.0), cfg.denoise)), cpu)
-
-    def _dn(r, t):
-        y = r / 32768.0
-        y = reduce_noise(y, t, cfg.denoise, sr=sr,
-                         passes=cfg.denoise.passes_live)
-        return quantize_i16(y)
-
-    dn = jax.jit(_dn)
-    fl = int(sr * cfg.vad.frame_ms / 1000)
-    tr = jax.jit(lambda i, m, d: vad_trim(i, m, d, fl, cfg.vad.ring_frames))
-    vad = NativeWebRtcVad(cfg.vad.aggressiveness)
+    nt = np.asarray(noise_threshold(
+        jnp.asarray(noise.astype(np.float32) / 32768.0), cfg.denoise))
+    hp = HostPreprocessor(cfg, noise_thresh=nt)
 
     def host_chain():
-        i16 = dn(raw, nt_cpu)
-        i16_np = np.asarray(i16).astype(np.int16)
-        T = frame_count(len(i16_np), fl)
-        dec = vad.decisions(i16_np[: T * fl], fl, sr)
-        trimmed, n_out = tr(
-            i16, jax.device_put(np.int32(len(i16_np)), cpu),
-            jax.device_put(dec, cpu))
-        return np.asarray(trimmed).astype(np.int16), int(n_out)
+        return hp.window(raw)
 
     trimmed, n_out = host_chain()                         # compile
     reps = 20
@@ -251,24 +225,12 @@ def bench_b1_host_split(n_samples):
 
     variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
     pred = OverlapPredictor(variables)
-    buf1 = jnp.asarray(trimmed[None])
+    # float32 buffer so the timing chain's `* 1e-12` carry bump is a REAL
+    # inter-step dependency (an int16 carry with a `* 0` bump is folded and
+    # XLA hoists the whole forward out of the scan — CLAUDE.md)
+    buf1 = jnp.asarray(trimmed[None].astype(np.float32))
     n1 = jnp.asarray([max(n_out, 4000)], np.int32)
-
-    @jax.jit
-    def dev_chain(v, b, m):
-        def body(carry, _):
-            labels, _ = pred._forward(v, carry, m)
-            return carry + labels.astype(carry.dtype)[:, None] * 0, labels[0]
-        _, outs = jax.lax.scan(body, b, jnp.arange(K))
-        return outs
-
-    _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
-        times.append(time.perf_counter() - t0)
-    dev_ms = float(np.median(times)) / K * 1e3
+    dev_ms = _chained_step_seconds(pred.lower_fn(), variables, buf1, n1) * 1e3
     return host_ms, dev_ms
 
 

@@ -97,11 +97,17 @@ def main():
 
     def features_for(speaker_seed, n_windows, base_seed):
         # one batched device call per speaker (a per-window loop costs the
-        # ~0.35 s tunnel round-trip 768 times: 282 s vs ~30 s)
+        # ~0.35 s tunnel round-trip 768 times: 282 s vs ~30 s).
+        # utter seeds: base_seed selects a DISJOINT namespace (1_000_003 is
+        # prime and not ~= any reachable 7919*ds + dw), so pretrain (1),
+        # enrollment (2) and held-out test (3) utterances can never be
+        # bit-identical — with a plain additive base, test window w equaled
+        # enrollment window w+1 exactly and "held-out" accuracy was
+        # training accuracy.
         voice = speaker_voice(speaker_seed)
-        wavs = np.stack([synth_utterance(voice, N_WIN,
-                                         base_seed + 7919 * speaker_seed + w)
-                         for w in range(n_windows)])
+        wavs = np.stack([synth_utterance(
+            voice, N_WIN, 1_000_003 * base_seed + 7919 * speaker_seed + w)
+            for w in range(n_windows)])
         return np.asarray(featurize(jnp.asarray(wavs)))
 
     # ---- base pretrain corpus --------------------------------------------

@@ -85,39 +85,14 @@ def main():
     # excluded — on real hardware that's PCIe, and the default device path
     # pays the same per-window upload).
     try:
-        from mmla_audio_tpu.vad.native import NativeWebRtcVad, native_available
-        if not native_available():
-            raise RuntimeError("native engine unavailable")
-        from mmla_audio_tpu.ops.denoise import reduce_noise, quantize_i16
-        from mmla_audio_tpu.vad.collector import frame_count, vad_trim
+        from mmla_audio_tpu.streaming.hostpre import HostPreprocessor
 
         cfg = PipelineConfig()
-        sr = cfg.audio.sample_rate
-        cpu = jax.devices("cpu")[0]
-        nt_cpu = jax.device_put(np.asarray(nt), cpu)
-
-        def _denoise_chain(raw, t):
-            y = raw / 32768.0
-            y = reduce_noise(y, t, cfg.denoise, sr=sr,
-                             passes=cfg.denoise.passes_live)
-            return quantize_i16(y)
-
-        host_denoise = jax.jit(_denoise_chain)
-        frame_len = int(sr * cfg.vad.frame_ms / 1000)
-        host_trim = jax.jit(lambda i, m, d: vad_trim(
-            i, m, d, frame_len, cfg.vad.ring_frames))
-        vad = NativeWebRtcVad(cfg.vad.aggressiveness)
+        hp = HostPreprocessor(cfg, noise_thresh=np.asarray(nt))
         raw = np.asarray((rng.randn(n) * 3000).astype(np.float32))
 
         def host_chain():
-            i16 = host_denoise(raw, nt_cpu)
-            i16_np = np.asarray(i16).astype(np.int16)
-            T = frame_count(len(i16_np), frame_len)
-            dec = vad.decisions(i16_np[: T * frame_len], frame_len, sr)
-            trimmed, n_out = host_trim(
-                i16, jax.device_put(np.int32(len(i16_np)), cpu),
-                jax.device_put(dec, cpu))
-            return np.asarray(trimmed).astype(np.int16), int(n_out)
+            return hp.window(raw)
 
         host_chain()                                  # compile CPU programs
         reps = 20
@@ -126,26 +101,15 @@ def main():
             trimmed, n_out = host_chain()
         host_ms = (time.perf_counter() - t0) / reps * 1e3
 
-        # device half: predictor K-chain at B=1 on the trimmed window
-        buf1 = jnp.asarray(trimmed[None])
+        # device half: predictor K-chain at B=1 on the trimmed window.
+        # float32 buffer so the harness's `* 1e-12` carry bump is a real
+        # inter-step dependency (int16 carry + `* 0` bump gets folded and
+        # the forward hoists out of the scan — CLAUDE.md)
+        from benchmarks.timing import chained_step_seconds
+        buf1 = jnp.asarray(trimmed[None].astype(np.float32))
         n1 = jnp.asarray([max(n_out, 4000)], jnp.int32)
-
-        @jax.jit
-        def dev_chain(variables, b, m):
-            def body(carry, _):
-                labels, _probs = pred._forward(variables, carry, m)
-                return carry + labels.astype(carry.dtype)[:, None] * 0, \
-                    labels[0]
-            _, outs = jax.lax.scan(body, b, jnp.arange(K))
-            return outs
-
-        _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(dev_chain(variables, buf1, n1)[-1])
-            times.append(time.perf_counter() - t0)
-        dev_ms = float(np.median(times)) / K * 1e3
+        dev_ms = chained_step_seconds(pred.lower_fn(), variables, buf1, n1,
+                                      K=K) * 1e3
         out["b1_host_chain_ms"] = round(host_ms, 3)
         out["b1_device_step_ms"] = round(dev_ms, 3)
         out["b1_step_ms_webrtc_host"] = round(host_ms + dev_ms, 3)

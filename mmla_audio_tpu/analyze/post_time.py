@@ -152,7 +152,7 @@ def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
                 def _seg_step(st, seg):
                     dec, st = webrtc_vad_frames(
                         seg, st, mode=cfg.vad.aggressiveness,
-                        frame_len=frame_len)
+                        frame_len=frame_len, sample_rate=sr)
                     return st, collect_mask(
                         dec, ring=cfg.vad.ring_frames).sum()
 

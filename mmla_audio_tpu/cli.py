@@ -106,6 +106,10 @@ def cmd_overlap_live(args):
     from mmla_audio_tpu.streaming.edge import EdgeOverlapSession
     from mmla_audio_tpu.streaming.session import OverlapSession
 
+    if args.edge and getattr(args, "host_preprocess", False):
+        raise SystemExit(
+            "--host-preprocess is not supported with --edge (the edge "
+            "pipeline is fully on-device; see streaming/edge.py)")
     cfg = _live_cfg(args)
     pred = _predictor_overlap(
         args.ckpt, cfg, matmul_precision=_matmul_precision(args))
@@ -136,6 +140,11 @@ def cmd_speaker_live(args):
     from mmla_audio_tpu.streaming.edge import EdgeSpeakerSession
     from mmla_audio_tpu.streaming.session import SpeakerSession
 
+    if getattr(args, "edge", False) and getattr(args, "host_preprocess",
+                                                False):
+        raise SystemExit(
+            "--host-preprocess is not supported with --edge (the edge "
+            "pipeline is fully on-device; see streaming/edge.py)")
     cfg = _live_cfg(args)
     pred = _predictor_speaker(
         args.ckpt, cfg, matmul_precision=_matmul_precision(args))

@@ -147,12 +147,14 @@ def _pallas_impl_grouped(y: jnp.ndarray, cfg: OverlapFeatureConfig,
     xe = jnp.pad(y, [(0, 0), (win // 2, win // 2)], mode="edge")
     fr = frame_signal(xr, win, hop, T)
     fe = frame_signal(xe, win, hop, T)
-    # pad each window to Tp frames (duplicate the last frame) and merge G
-    # windows into one GEMM M-dim
-    fr = jnp.concatenate([fr, fr[:, -(Tp - T):, :]], axis=1) \
-        .reshape(nb, G * Tp, win)
-    fe = jnp.concatenate([fe, fe[:, -(Tp - T):, :]], axis=1) \
-        .reshape(nb, G * Tp, win)
+    # pad each window to Tp frames (duplicate the last frames) and merge G
+    # windows into one GEMM M-dim.  Guarded: when T is already a multiple of
+    # 8 the pad is zero and `fr[:, -0:, :]` would select the WHOLE axis.
+    if Tp > T:
+        fr = jnp.concatenate([fr, fr[:, -(Tp - T):, :]], axis=1)
+        fe = jnp.concatenate([fe, fe[:, -(Tp - T):, :]], axis=1)
+    fr = fr.reshape(nb, G * Tp, win)
+    fe = fe.reshape(nb, G * Tp, win)
 
     cos, sin = _dft_basis(win, win, windowed=True)
     fb = mel_filterbank(cfg.sample_rate, win, M, cfg.fmin, cfg.fmax).T[:, ::-1]

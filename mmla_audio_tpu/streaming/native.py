@@ -28,13 +28,18 @@ def load_native():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _LIB_PATH.exists():
-            try:
-                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
+        # always run make (a no-op when the .so is current): loading an
+        # existing-but-stale build would silently drop newer symbols
+        # (wv_* / rb_pop_batch) and disable the native engines forever
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            if not _LIB_PATH.exists():
                 _build_failed = True
                 return None
+            # no toolchain but a prebuilt library exists: load it (callers
+            # feature-test optional symbols with hasattr)
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:

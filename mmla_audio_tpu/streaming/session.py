@@ -148,38 +148,15 @@ class StreamingSession:
         # return the updated state.
         self.vad_state = webrtc_init() if cfg.vad.decision == "webrtc" \
             else None
-        self._host_vad = None
-        self._noise_thresh_cpu = None
+        self._hostpre = None
         if host_preprocess:
             if cfg.vad.decision != "webrtc":
                 raise ValueError(
                     "host_preprocess is the low-latency arrangement for the "
                     "webrtc decision; set cfg.vad.decision='webrtc'")
-            from mmla_audio_tpu.vad.native import (
-                NativeWebRtcVad,
-                native_available,
-            )
-            if not native_available():
-                raise RuntimeError(
-                    "host_preprocess requires the native webrtcvad engine "
-                    "(libmmla_host.so failed to build/load)")
-            self._host_vad = NativeWebRtcVad(cfg.vad.aggressiveness)
-            self._cpu = jax.devices("cpu")[0]
-            sr = cfg.audio.sample_rate
+            from mmla_audio_tpu.streaming.hostpre import HostPreprocessor
 
-            def _denoise_chain(raw_i16f, nt):
-                y = raw_i16f / 32768.0
-                y = reduce_noise(y, nt, cfg.denoise, sr=sr,
-                                 passes=cfg.denoise.passes_live)
-                return _quantize_i16(y)
-
-            # placement follows the CPU-committed noise threshold; the raw
-            # window arrives as an uncommitted numpy array
-            self._host_denoise = jax.jit(_denoise_chain)
-            self._host_trim = jax.jit(
-                lambda i16, n, dec: vad_trim(
-                    i16, n, dec, int(sr * cfg.vad.frame_ms / 1000),
-                    cfg.vad.ring_frames))
+            self._hostpre = HostPreprocessor(cfg)
         self._count = 0
 
     # -- calibration ---------------------------------------------------------
@@ -206,11 +183,8 @@ class StreamingSession:
         self.noise_thresh = noise_threshold(jnp.asarray(nf), self.cfg.denoise)
         self.vad_threshold_db = calibrate_threshold(
             noise_i16, self.cfg.vad.aggressiveness)
-        if self._host_vad is not None:
-            # CPU-committed copy so the host denoise chain executes on the
-            # host backend (placement follows the committed operand)
-            self._noise_thresh_cpu = jax.device_put(
-                np.asarray(self.noise_thresh), self._cpu)
+        if self._hostpre is not None:
+            self._hostpre.set_noise_threshold(self.noise_thresh)
         if self.cfg.vad.decision == "gmm":
             # WebRTC-architecture GMM initialised from the ambient profile;
             # captured as a trace-time constant, so rebuild the fused
@@ -233,29 +207,9 @@ class StreamingSession:
                                  gmm_state=gmm, webrtc_state=vad_state)
 
     def _host_window(self, window_i16: np.ndarray):
-        """Host half of the low-latency split: CPU denoise -> native webrtc
-        decisions -> CPU trim.  Returns ``(trimmed int16 (n_win,), n_out)``
-        ready for ``predictor.predict`` (which re-applies the silent gate).
-        Numerically the same chain as ``preprocess_window``; the VAD state
-        lives in the native engine instead of a device operand."""
-        cfg = self.cfg
-        sr = cfg.audio.sample_rate
-        i16 = self._host_denoise(window_i16.astype(np.float32),
-                                 self._noise_thresh_cpu)
-        i16_np = np.asarray(i16).astype(np.int16)
-        frame_len = int(sr * cfg.vad.frame_ms / 1000)
-        T = frame_count(len(i16_np), frame_len)
-        decisions = self._host_vad.decisions(i16_np[: T * frame_len],
-                                             frame_len=frame_len,
-                                             sample_rate=sr)
-        # pin every operand to the host device: a bare jnp.asarray would
-        # place uncommitted data on the DEFAULT (accelerator) device and
-        # smuggle device round-trips into the host chain (measured: +76 ms
-        # through the dev tunnel)
-        trimmed, n_out = self._host_trim(
-            i16, jax.device_put(np.int32(len(i16_np)), self._cpu),
-            jax.device_put(decisions, self._cpu))
-        return np.asarray(trimmed).astype(np.int16), int(n_out)
+        """Host half of the low-latency split (see ``streaming/hostpre.py``).
+        Returns ``(trimmed int16 (n_win,), n_out)``."""
+        return self._hostpre.window(window_i16)
 
     # -- loop -------------------------------------------------------------------
     def run(self, max_windows: Optional[int] = None,
@@ -335,12 +289,17 @@ class OverlapSession(StreamingSession):
         self._fused = jax.jit(fused)
 
     def process_window(self, window_i16: np.ndarray):
-        if self._host_vad is not None:
+        if self._hostpre is not None:
             trimmed, n_out = self._host_window(window_i16)
-            labels, probs = self.predictor.predict(
+            _, probs = self.predictor.predict(
                 trimmed[None], np.asarray([n_out], np.int32))
-            label = int(np.asarray(labels)[0])
             probs = np.asarray(probs)[0]
+            # gate at the SESSION config threshold (the fused path's gate),
+            # not the predictor's own silent_threshold — the two arrangements
+            # must agree for any non-default gate; argmax(probs) equals the
+            # fused path's argmax(softmax(logits))
+            label = -1 if n_out < self.cfg.vad.silent_samples \
+                else int(np.argmax(probs))
             name = "silent" if label < 0 else OVERLAP_LABELS[str(label)]
             return name, probs
         label, probs, _, state = self._fused(
@@ -367,12 +326,15 @@ class SpeakerSession(StreamingSession):
         self._rebuild_fused()
 
     def process_window(self, window_i16: np.ndarray):
-        if self._host_vad is not None:
+        if self._hostpre is not None:
             trimmed, n_out = self._host_window(window_i16)
-            labels, probs = self.predictor.predict(
+            _, probs = self.predictor.predict(
                 trimmed[None], np.asarray([n_out], np.int32))
-            label = int(np.asarray(labels)[0])
             probs = np.asarray(probs)[0]
+            # session-config gate, same as the fused path (argmax of probs
+            # equals argmax of logits — sigmoid/softmax are monotonic)
+            label = -1 if n_out < self.cfg.speaker_feature.silent_samples \
+                else int(np.argmax(probs))
             name = "silent" if label < 0 else \
                 self.speaker_id_dict.get(str(label), str(label))
             return name, probs
@@ -405,12 +367,22 @@ class SpeakerSession(StreamingSession):
             chunks.append(w)
             got += len(w)
         raw = (np.concatenate(chunks) if chunks else np.zeros(n, np.int16))[:n]
-        trimmed, n_out, state = self._preprocess(
-            jnp.asarray(raw.astype(np.float32)), self.noise_thresh,
-            jnp.asarray(self.vad_threshold_db, jnp.float32), self.vad_state)
-        if state is not None:
-            self.vad_state = state
-        out = np.asarray(trimmed[: int(n_out)]).astype(np.int16)
+        if self._hostpre is not None:
+            # host-preprocess sessions keep ONE long-lived detector (the
+            # native engine) that sees every frame in capture order —
+            # enrollment must not advance a separate device-side state (and
+            # must not pay the scan-bound device filterbank the split
+            # exists to avoid)
+            trimmed_np, n_out = self._host_window(raw)
+            out = trimmed_np[: int(n_out)]
+        else:
+            trimmed, n_out, state = self._preprocess(
+                jnp.asarray(raw.astype(np.float32)), self.noise_thresh,
+                jnp.asarray(self.vad_threshold_db, jnp.float32),
+                self.vad_state)
+            if state is not None:
+                self.vad_state = state
+            out = np.asarray(trimmed[: int(n_out)]).astype(np.int16)
         path = self.dirs.corpus / f"{name}.wav"
         write_wav(path, out, sr)
         return path

@@ -72,6 +72,18 @@ def test_overlap_live_edge_fake(tmp_path, capsys):
     assert "window 1:" in out
 
 
+def test_edge_rejects_host_preprocess(tmp_path):
+    # --edge pipelines are fully on-device; combining with --host-preprocess
+    # must fail loudly, not silently run the device path
+    import pytest
+
+    for cmd in ("overlap-live", "speaker-live"):
+        with pytest.raises(SystemExit, match="host-preprocess"):
+            cli.main([cmd, "--fake", "--edge", "--host-preprocess",
+                      "--windows", "1", "--calibrate-seconds", "1",
+                      "--root", str(tmp_path / "experiment")])
+
+
 def test_speaker_live_fake_with_registration(tmp_path, capsys):
     cli.main(["speaker-live", "--fake", "--windows", "1",
               "--calibrate-seconds", "1",

@@ -30,3 +30,32 @@ def test_pallas_single_window_and_padding():
     diff = np.abs(got - ref)
     assert (diff <= 1.0).all()
     assert (diff > 0).mean() < 0.01
+
+
+def test_pallas_grouped_matches_jnp_path():
+    # 6 windows / group=4 also exercises the batch pad-to-multiple path
+    ys = np.stack([synth_speech(24000, seed=40 + s) for s in range(6)])
+    ref = np.asarray(overlap_model_input(jnp.asarray(ys)))
+    got = np.asarray(overlap_model_input_pallas(jnp.asarray(ys), group=4))
+    assert got.shape == ref.shape
+    diff = np.abs(got - ref)
+    assert (diff <= 1.0).all()
+    assert (diff > 0).mean() < 0.02
+
+
+def test_pallas_grouped_frames_multiple_of_8():
+    # time_dim=151 -> n_frames=152 == Tp: the frame pad is empty and the
+    # grouped path must NOT duplicate the frame axis (regression: a -0 slice
+    # selected the whole axis)
+    from mmla_audio_tpu.core.config import OverlapFeatureConfig
+
+    cfg = OverlapFeatureConfig(time_dim=151)
+    assert cfg.n_frames % 8 == 0
+    ys = np.stack([synth_speech(cfg.n_samples, seed=60 + s)
+                   for s in range(4)])
+    ref = np.asarray(overlap_model_input(jnp.asarray(ys), cfg))
+    got = np.asarray(overlap_model_input_pallas(jnp.asarray(ys), cfg,
+                                                group=2))
+    assert got.shape == ref.shape == (4, 128, 152, 3)
+    diff = np.abs(got - ref)
+    assert (diff <= 1.0).all()

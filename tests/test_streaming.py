@@ -343,7 +343,7 @@ def test_host_preprocess_matches_device_webrtc(tmp_path):
     assert labels_h[1] == "silent"
     # VAD adaptation advanced identically on both sides
     dev_state = sess_d.vad_state
-    host_state = sess_h._host_vad.jax_state()
+    host_state = sess_h._hostpre._vad.jax_state()
     for a, b in zip(dev_state, host_state):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 

@@ -1,15 +1,19 @@
 """Stage-level profile of the denoise chain at b512 — the pre-decision
-serve chain (denoise -> VAD -> trim) measures ~10x the model step
-(bench_vad_modes: 292.8 ms vs batch_step 26.9 ms at b512), and denoise is
-its only heavy stage.  Break it down:
+serve chain (denoise -> VAD -> trim) measured ~10x the model step before
+the r3 rewrites (bench_vad_modes: 292.8 ms vs batch_step 26.9 ms at b512),
+and denoise is its only heavy stage.  Break it down:
 
-  stft       forward DFT GEMMs on the padded signal (HIGHEST precision)
-  mask       dB + threshold + smoothing conv
-  iframes    inverse DFT GEMMs (bins -> time frames)
-  oadd       overlap-add scatter (.at[idx].add) + wsq normalize + trim
+  stft       forward DFT GEMMs (split-GEMM framing on hop-strided views)
+  mask       squared-magnitude threshold + banded-GEMM smoothing
+  istft      window-folded inverse sub-GEMMs + shifted-pad overlap-add
   full       whole reduce_noise pass
 
 Each timed as a K-chained jitted scan (CLAUDE.md timing discipline).
+Stage history (measured): mask as a C_in=1 33x7 spatial conv 215.7 ms ->
+banded GEMMs 5.4; overlap-add as .at[idx].add scatter 20.6 -> shifted-pad
+sums ~0 (fused); full chain 265.7 -> 25.0 -> 20.0 ms after the split-GEMM
+framing / window-folded bases / squared-magnitude mask second pass
+(benchmarks/serve_roofline.py has the roofline accounting).
 """
 
 import json
@@ -51,52 +55,33 @@ def main():
         return re, im
 
     def mask_stage(re, im):
-        # mirrors reduce_noise's current smoothing (banded-GEMM factored
-        # form; the old C_in=1 conv2d form measured 215.7 ms here)
+        # mirrors reduce_noise's current mask: squared-magnitude gate (no
+        # abs/sqrt/log materializations) + banded-GEMM smoothing (the old
+        # dB-domain compare measured ~1 ms more; the C_in=1 conv2d smoothing
+        # form measured 215.7 ms here)
         v_f, v_t = dn._smoothing_factors(
             sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
             cfg.time_mask_smooth_ms)
-        mag = jnp.sqrt(re * re + im * im)
-        db = dn.amp_to_db(mag, reduce_axes=(-2, -1))
-        mask = (db > nt).astype(jnp.float32)
+        magsq = jnp.maximum(re * re + im * im, 1e-40)
+        thr_sq = jnp.power(10.0, nt / 10.0)
+        peak_sq = jnp.max(magsq, axis=(-2, -1), keepdims=True)
+        mask = jnp.logical_or(magsq > thr_sq,
+                              peak_sq > thr_sq * 1e8).astype(jnp.float32)
         mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
         mf = jnp.asarray(dn._band_matrix(v_f, mask.shape[-1]))
-        mt = jnp.asarray(dn._band_matrix(v_t, mask.shape[-2]))
+        mt_t = jnp.asarray(dn._band_matrix(v_t, mask.shape[-2]).T)
         sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-        sm = jnp.einsum("...tk,ts->...sk", sm, mt,
-                        preferred_element_type=jnp.float32,
+        sm = jnp.matmul(mt_t, sm, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         return sm
 
-    def iframes_stage(re, im):
-        _, _, ic, isn = dn._bases(cfg.n_fft)
-        x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-             - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST))
-        return x
-
-    def oadd_stage(x):
-        # production reshape/pad overlap-add (the scatter .at[idx].add form
-        # this replaced measured 20.6 ms here)
-        w_np = np.asarray(dn.hann_periodic(cfg.n_fft), np.float64)
-        xw = x * jnp.asarray(w_np, jnp.float32)
-        T = x.shape[-2]
-        n_fft, hop = cfg.n_fft, cfg.hop_length
-        total = n_fft + (T - 1) * hop
-        r = n_fft // hop
-        blocks = xw.reshape(xw.shape[:-2] + (T, r, hop))
-        parts = []
-        for j in range(r):
-            b = blocks[..., :, j, :]
-            pad = [(0, 0)] * (b.ndim - 2) + [(j, r - 1 - j), (0, 0)]
-            parts.append(jnp.pad(b, pad))
-        yy = sum(parts).reshape(xw.shape[:-2] + (total,))
-        wsq_np = np.zeros(total, np.float64)
-        for t in range(T):
-            wsq_np[t * hop: t * hop + n_fft] += w_np * w_np
-        return yy / jnp.asarray(np.maximum(wsq_np, 1e-10), jnp.float32)
+    def istft_stage(re, im):
+        # the production inverse: window-folded hop-block sub-GEMMs emit the
+        # overlap-add parts directly (no inverse-frames tensor / window
+        # multiply / scatter — the .at[idx].add form measured 20.6 ms here)
+        return dn._istft(re, im, cfg.n_fft, cfg.hop_length,
+                         re.shape[-2] * cfg.hop_length)
 
     def timed(name, fn, *args):
         @jax.jit
@@ -104,7 +89,9 @@ def main():
             def body(carry, _):
                 out = fn(carry, *a[1:])
                 lead = out[0] if isinstance(out, tuple) else out
-                bump = jnp.sum(lead) * 0
+                # REAL inter-step dependency: a `* 0` bump is folded away and
+                # XLA hoists the body out of the scan (CLAUDE.md int8 lesson)
+                bump = jnp.sum(lead).astype(carry.dtype) * 1e-12
                 return carry + bump, None
             c, _ = jax.lax.scan(body, a[0], jnp.arange(K))
             return c
@@ -122,15 +109,13 @@ def main():
 
     re, im = stft_stage(y)
     re, im = jax.block_until_ready(re), jax.block_until_ready(im)
-    x = iframes_stage(re, im)
 
     out = {"metric": "denoise_profile_b512", "K": K}
     out["stft_ms"] = round(timed("stft", lambda yy: stft_stage(yy)[0], y), 2)
     out["mask_ms"] = round(timed(
         "mask", lambda r, i: mask_stage(r, i), re, im), 2)
-    out["iframes_ms"] = round(timed(
-        "iframes", lambda r, i: iframes_stage(r, i), re, im), 2)
-    out["oadd_ms"] = round(timed("oadd", lambda xx: oadd_stage(xx), x), 2)
+    out["istft_ms"] = round(timed(
+        "istft", lambda r, i: istft_stage(r, i), re, im), 2)
     out["full_ms"] = round(timed(
         "full", lambda yy: dn.reduce_noise(yy, nt, cfg, sr=sr), y), 2)
     print(json.dumps(out))

@@ -1,0 +1,148 @@
+"""Roofline accounting for the FULL serve chain (pre-decision stages
+included) at b512 — the companion to benchmarks/roofline.py, which covers
+only featurize+model.
+
+bench_vad_modes measures the energy serve chain (denoise -> VAD -> trim ->
+featurize -> model) at ~52 ms vs ~27 ms for featurize+model alone, so
+~25 ms/step is preprocessing.  This probe answers whether that 25 ms is at
+the HBM roofline (no headroom: stop) or below it (next kernel target), the
+same way VERDICT r2 item 4 settled the model-step question:
+
+  denoise      reduce_noise (STFT GEMMs, mask, banded-GEMM smoothing,
+               shifted-pad overlap-add) + int16 re-quantization
+  preprocess   denoise + energy VAD + hysteresis collector + trim
+  serve_full   preprocess + featurize + model forward
+
+Each row: sustained ms/step (K-chained scan with a REAL inter-step data
+dependency — CLAUDE.md timing discipline), XLA cost-model flops + bytes,
+achieved GB/s vs the 819 GB/s v5e peak, MFU vs the 197 TFLOP/s MXU peak.
+
+Usage: python benchmarks/serve_roofline.py   (TPU; ~3 min of compiles)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B = 512
+K = 32
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def _measure_and_cost(fn, x):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(xx):
+        def body(carry, _):
+            out = fn(carry)
+            lead = jax.tree_util.tree_leaves(out)[0]
+            bump = jnp.sum(lead).astype(carry.dtype) * 1e-12
+            return carry + bump, lead.ravel()[0]
+        _, outs = jax.lax.scan(body, xx, jnp.arange(K))
+        return outs
+
+    cost = jax.jit(fn).lower(x).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    byts = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+    _ = np.asarray(run(x)[-1])                    # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(x)[-1])
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) / K * 1e3
+    return ms, flops, byts
+
+
+def _row(name, ms, flops, byts):
+    gbps = byts / (ms / 1e3) / 1e9 if ms else 0.0
+    mfu = flops / (ms / 1e3) / (V5E_BF16_TFLOPS * 1e12) if ms else 0.0
+    return {
+        "stage": name, "ms": round(ms, 3),
+        "gflops": round(flops / 1e9, 2), "mb_accessed": round(byts / 1e6, 1),
+        "achieved_gbps": round(gbps, 1),
+        "hbm_pct": round(100.0 * gbps / V5E_HBM_GBPS, 1),
+        "mfu_pct": round(100.0 * mfu, 2),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.ops.denoise import (noise_threshold, quantize_i16,
+                                            reduce_noise)
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.streaming.session import preprocess_window
+
+    cfg = PipelineConfig()
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.window_samples
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+
+    rng = np.random.RandomState(2)
+    buf = jnp.asarray((rng.randn(B, n) * 3000).astype(np.float32))
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    nt1 = noise_threshold(jnp.asarray(noise.astype(np.float32) / 32768.0),
+                          cfg.denoise)
+    nt = jnp.broadcast_to(nt1, (B,) + nt1.shape)
+    vt = jnp.full((B,), 30.0, jnp.float32)
+
+    def denoise_fn(b):
+        def one(r):
+            y = r / 32768.0
+            y = reduce_noise(y, nt1, cfg.denoise, sr=sr,
+                             passes=cfg.denoise.passes_live)
+            return quantize_i16(y)
+        return jax.vmap(one)(b)
+
+    def preprocess_fn(b):
+        trimmed, n_out, _ = jax.vmap(
+            lambda r, nthr, vthr: preprocess_window(r, nthr, vthr, cfg))(
+            b, nt, vt)
+        return trimmed.astype(jnp.float32), n_out
+
+    def serve_full_fn(b):
+        trimmed, n_out, _ = jax.vmap(
+            lambda r, nthr, vthr: preprocess_window(r, nthr, vthr, cfg))(
+            b, nt, vt)
+        img = overlap_model_input(
+            trimmed[:, : cfg.overlap_feature.n_samples] / 32768.0,
+            cfg.overlap_feature)
+        logits = pred.apply_model(variables, img)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.where(n_out < cfg.vad.silent_samples, -1,
+                         labels).astype(jnp.float32), logits
+
+    rows = []
+    for name, fn in (("denoise", denoise_fn),
+                     ("preprocess", preprocess_fn),
+                     ("serve_full", serve_full_fn)):
+        r = _row(name, *_measure_and_cost(fn, buf))
+        print("[serve_roofline]", r, file=sys.stderr, flush=True)
+        rows.append(r)
+
+    print(json.dumps({
+        "metric": "serve_roofline_b512", "batch": B, "K": K,
+        "device": str(jax.devices()[0]),
+        "hbm_peak_gbps": V5E_HBM_GBPS,
+        "mxu_peak_tflops_bf16": V5E_BF16_TFLOPS,
+        "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

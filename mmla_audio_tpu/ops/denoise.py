@@ -89,12 +89,67 @@ def _bases(n_fft: int):
     return fwd_cos, fwd_sin, inv_cos, inv_sin
 
 
+@functools.lru_cache(maxsize=None)
+def _bases_split(n_fft: int, hop: int):
+    """hop-block-split DFT bases for the ``hop | n_fft`` geometry (the
+    noisereduce default, 1024/256).  Forward: the windowed bases' j-th
+    hop-block ROWS, so the STFT GEMM runs directly on hop-strided signal
+    blocks and the (..., T, n_fft) frames tensor is never materialized (the
+    framing gather + its layout copies were ~1.5 GB/step of the b512 denoise
+    traffic — HLO audit, benchmarks/serve_roofline.py).  Inverse: the j-th
+    hop-block COLUMNS of the synthesis-WINDOW-FOLDED inverse bases, so each
+    GEMM emits one shifted overlap-add part and the separate windowing
+    multiply (a full frames-tensor broadcast) disappears."""
+    k = np.arange(n_fft // 2 + 1)
+    t = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
+    w = hann_periodic(n_fft).astype(np.float64)
+    fwd_cos = np.cos(ang) * w[:, None]
+    fwd_sin = -np.sin(ang) * w[:, None]
+    c = np.full(n_fft // 2 + 1, 2.0)
+    c[0] = 1.0
+    c[-1] = 1.0
+    inv_cos_w = (np.cos(ang) * c[None, :] / n_fft) * w[:, None]
+    inv_sin_w = (np.sin(ang) * c[None, :] / n_fft) * w[:, None]
+    r = n_fft // hop
+    fc = tuple(np.ascontiguousarray(
+        fwd_cos[j * hop:(j + 1) * hop]).astype(np.float32) for j in range(r))
+    fs = tuple(np.ascontiguousarray(
+        fwd_sin[j * hop:(j + 1) * hop]).astype(np.float32) for j in range(r))
+    ic = tuple(np.ascontiguousarray(
+        inv_cos_w[j * hop:(j + 1) * hop].T).astype(np.float32)
+        for j in range(r))                                       # (K, hop)
+    isn = tuple(np.ascontiguousarray(
+        inv_sin_w[j * hop:(j + 1) * hop].T).astype(np.float32)
+        for j in range(r))
+    return fc, fs, ic, isn
+
+
 def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int):
     """Centered (reflect) STFT -> (re, im) of shape (..., frames, bins)."""
     n = y.shape[-1]
     cfg = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     yp = jnp.pad(y, cfg, mode="reflect")
     n_frames = 1 + n // hop
+    if n_fft % hop == 0:
+        # split-GEMM framing: frame t is r = n_fft//hop consecutive
+        # hop-blocks, so  frames @ fc  ==  sum_j blocks[j:j+T] @ fc_rows_j
+        # on hop-strided reshaped VIEWS of the padded signal — no frames
+        # tensor, no gather, no layout copies (HLO audit: ~1.5 GB/step).
+        r = n_fft // hop
+        nb = n_frames + r - 1
+        blocks = yp[..., : nb * hop].reshape(yp.shape[:-1] + (nb, hop))
+        fc, fs, _, _ = _bases_split(n_fft, hop)
+        re = im = None
+        for j in range(r):
+            sub = blocks[..., j: j + n_frames, :]
+            rj = jnp.matmul(sub, fc[j], preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            ij = jnp.matmul(sub, fs[j], preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            re = rj if re is None else re + rj
+            im = ij if im is None else im + ij
+        return re, im
     frames = frame_signal(yp, n_fft, hop, n_frames)
     fc, fs, _, _ = _bases(n_fft)
     re = jnp.matmul(frames, fc, preferred_element_type=jnp.float32,
@@ -108,32 +163,40 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
            out_len: int) -> jnp.ndarray:
     """librosa.istft: windowed inverse frames, overlap-add, /= win^2 sum,
     trim n_fft//2 head (centered)."""
-    _, _, ic, isn = _bases(n_fft)
-    # x_frame (..., T, n_fft)
-    x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-         - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST))
-    w_np = np.asarray(hann_periodic(n_fft), np.float64)
-    xw = x * jnp.asarray(w_np, jnp.float32)               # synthesis window
-    T = x.shape[-2]
+    T = re.shape[-2]
     total = n_fft + (T - 1) * hop
-    batch = xw.shape[:-2]
+    batch = re.shape[:-2]
     if n_fft % hop == 0:
         # hop divides n_fft (the noisereduce geometry: 1024/256): each frame
         # contributes r = n_fft//hop aligned hop-blocks, so overlap-add is r
         # shifted pads summed — pure vector ops.  The scatter formulation
         # (.at[idx].add over T*n_fft indices) serializes on TPU and
         # dominated the whole denoise chain (benchmarks/denoise_profile.py).
+        # Each part comes STRAIGHT from a GEMM against the window-folded
+        # hop-block inverse bases: the (..., T, n_fft) inverse-frames tensor,
+        # its synthesis-window broadcast multiply, and the block
+        # reshape+layout-copy never exist (HLO audit,
+        # benchmarks/serve_roofline.py).
         r = n_fft // hop
-        blocks = xw.reshape(batch + (T, r, hop))
+        _, _, ic, isn = _bases_split(n_fft, hop)
         parts = []
         for j in range(r):
-            b = blocks[..., :, j, :]                      # (..., T, hop)
+            b = (jnp.matmul(re, ic[j], preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                 - jnp.matmul(im, isn[j], preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
             pad = [(0, 0)] * len(batch) + [(j, r - 1 - j), (0, 0)]
             parts.append(jnp.pad(b, pad))
         y = sum(parts).reshape(batch + (total,))
     else:
+        _, _, ic, isn = _bases(n_fft)
+        # x_frame (..., T, n_fft)
+        x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+             - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+        w_np = np.asarray(hann_periodic(n_fft), np.float64)
+        xw = x * jnp.asarray(w_np, jnp.float32)           # synthesis window
         idx = (np.arange(T)[:, None] * hop
                + np.arange(n_fft)[None, :]).reshape(-1)
         idx = jnp.asarray(idx)
@@ -144,6 +207,7 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
         flat = xw.reshape((-1, T * n_fft))
         y = jax.vmap(oadd)(flat).reshape(batch + (total,))
     # squared-window normalization is input-independent: precompute on host
+    w_np = np.asarray(hann_periodic(n_fft), np.float64)
     wsq_np = np.zeros(total, np.float64)
     for t in range(T):
         wsq_np[t * hop: t * hop + n_fft] += w_np * w_np
@@ -251,9 +315,20 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
             y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) / 32768.0
         yp = jnp.pad(y, pad_cfg)
         re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length)  # (..., T, K)
-        mag = jnp.sqrt(re * re + im * im)
-        db = amp_to_db(mag, reduce_axes=(-2, -1))
-        mask = (db > noise_thresh).astype(jnp.float32)
+        # Gate mask computed in the SQUARED-magnitude domain: sqrt and
+        # log10 are monotonic, so with amin = 1e-20 and top_db = 80
+        #   db > nt  <=>  raw_db > nt  OR  peak_db - 80 > nt
+        #            <=>  max(mag^2, amin^2) > 10^(nt/10)
+        #                 OR  max_magsq > 10^(nt/10) * 1e8 .
+        # Equivalent decisions to `amp_to_db(mag, reduce_axes) > nt` up to
+        # fp rounding exactly at the boundary; removes the abs/sqrt/log
+        # full-spectrogram materializations (~0.8 GB/step at b512 — HLO
+        # audit, benchmarks/serve_roofline.py).
+        magsq = jnp.maximum(re * re + im * im, 1e-40)
+        thr_sq = jnp.power(10.0, noise_thresh / 10.0)
+        peak_sq = jnp.max(magsq, axis=(-2, -1), keepdims=True)
+        mask = jnp.logical_or(magsq > thr_sq,
+                              peak_sq > thr_sq * 1e8).astype(jnp.float32)
         mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
         # 'same' 2-D smoothing convolution.  The kernel is rank-1
         # (outer(v_f, v_t)), so it factors into two 1-D convolutions, each
@@ -262,14 +337,21 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         # the 266 ms b512 chain (benchmarks/denoise_profile.py).
         if mf is None:
             mf = jnp.asarray(_band_matrix(v_f, mask.shape[-1]))   # (K, K)
-            mt = jnp.asarray(_band_matrix(v_t, mask.shape[-2]))   # (T, T)
+            mt_t = jnp.asarray(
+                _band_matrix(v_t, mask.shape[-2]).T)              # (T, T)
         # feature-parity contraction: the smoothed mask multiplies the
         # STFT every downstream feature consumes — TPU's default single
-        # bf16 MXU pass would diverge from the CPU golden
+        # bf16 MXU pass would diverge from the CPU golden.  Both smoothing
+        # contractions are expressed as plain matmuls (mt.T @ x for the
+        # time axis, NOT einsum('...tk,ts->...sk')): XLA:CPU lowers the
+        # batched einsum with a different accumulation order than the
+        # single-window form, so batched-vs-single denoise differed in the
+        # last ulp and occasionally flipped an int16 quantization — matmul
+        # forms are measured batch-invariant, keeping the multiplexer's
+        # batched chain bit-identical to the per-stream sessions.
         sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)      # freq axis
-        sm = jnp.einsum("...tk,ts->...sk", sm, mt,
-                        preferred_element_type=jnp.float32,
+        sm = jnp.matmul(mt_t, sm, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)      # time axis
         mask = sm
         re = re * mask

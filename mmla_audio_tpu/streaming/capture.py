@@ -191,13 +191,24 @@ class CaptureThread:
 
     def suspend(self, timeout: float = 2.0) -> None:
         """Gate released: park the producer (it suspends the source from its
-        own thread) and drop buffered audio."""
+        own thread) and drop buffered audio.  Callable BEFORE ``start()``:
+        the producer then parks before its first source read, so a capture
+        created while the gate is released (the Pi boots with the button up)
+        consumes no audio at all."""
         self._pause_req.set()
-        self._paused.wait(timeout)
+        if self._thread is not None:
+            self._paused.wait(timeout)
 
     def resume(self) -> None:
         """Gate pressed again: un-park the producer (it resumes the source)."""
         self._pause_req.clear()
+
+    @property
+    def suspended(self) -> bool:
+        """True while a suspend is requested (sessions check this at loop
+        entry so a capture created suspended is resumed on the first
+        gate-pressed tick)."""
+        return self._pause_req.is_set()
 
     def read_window(self, n_samples: int, timeout: float = 10.0
                     ) -> Optional[np.ndarray]:

@@ -218,12 +218,15 @@ class StreamingSession:
         assert self.noise_thresh is not None, "calibrate() first"
         results = []
         n_win = self.cfg.audio.window_samples
-        suspended = False
         src = getattr(self.capture, "source", None)
         # CaptureThread owns suspension (the producer thread suspends the
         # source itself — closing a PyAudio stream under a blocked read from
         # this thread kills capture); raw sources fall back to direct calls.
         sus_target = self.capture if hasattr(self.capture, "suspend") else src
+        # honor a capture created suspended (gate released at startup — the
+        # Pi boots with the button up): the first gate-pressed tick resumes
+        # it instead of deadlocking on an empty ring
+        suspended = bool(getattr(sus_target, "suspended", False))
         try:
             while max_windows is None or len(results) < max_windows:
                 if self.gate is not None and not self.gate.pressed:

@@ -77,6 +77,18 @@ def test_reduce_noise_preserves_loud_tone():
 
 
 def test_reduce_noise_batched_matches_single():
+    """Batched denoise must be BIT-identical to per-window denoise on the
+    host backend: the multiplexer's batched chain feeds the same webrtcvad
+    state threading as the per-stream sessions, so one flipped int16 sample
+    desynchronizes the detector-state equality contract.  Regression pin for
+    the einsum('...tk,ts->...sk') time-smoothing form, whose batched
+    XLA:CPU lowering used a different accumulation order than the
+    single-window form (~10-20 flipped samples per window at the
+    quantization boundary)."""
+    import jax
+
+    from mmla_audio_tpu.ops.denoise import quantize_i16
+
     noise_clip = _noise(160000, seed=9)
     thr = noise_threshold(jnp.asarray(noise_clip))
     w0 = synth_speech(40960, seed=10) * 0.2
@@ -84,8 +96,16 @@ def test_reduce_noise_batched_matches_single():
     batch = np.asarray(reduce_noise(jnp.asarray(np.stack([w0, w1])), thr))
     s0 = np.asarray(reduce_noise(jnp.asarray(w0), thr))
     s1 = np.asarray(reduce_noise(jnp.asarray(w1), thr))
-    np.testing.assert_allclose(batch[0], s0, atol=1e-5)
-    np.testing.assert_allclose(batch[1], s1, atol=1e-5)
+    np.testing.assert_array_equal(batch[0], s0)
+    np.testing.assert_array_equal(batch[1], s1)
+
+    # and through jit+vmap (the multiplexer arrangement), post-quantization
+    def chain(y):
+        return quantize_i16(reduce_noise(y, thr))
+
+    b = np.asarray(jax.jit(jax.vmap(chain))(jnp.asarray(np.stack([w0, w1]))))
+    q0 = np.asarray(jax.jit(chain)(jnp.asarray(w0)))
+    np.testing.assert_array_equal(b[0], q0)
 
 
 def test_multi_pass():

@@ -155,9 +155,15 @@ def test_edge_speaker_register_train_identify_through_gate(tmp_path):
     assert set(sess.speaker_id_dict.values()) == {"alice", "bob"}
     assert sess._aot is None              # retrain invalidated the program
 
-    # identify through the gate: suspend mid-run, then resume
+    # identify through the gate: start suspended (button up at boot), then
+    # press.  Suspending BEFORE start() parks the producer ahead of its
+    # first source read — a running producer could otherwise push (and the
+    # suspend-clears-ring gate semantics then discard) a load-dependent
+    # amount of the finite source before run() suspends it.
     src2 = ArraySource(synth_speech_i16(40960 * 3, seed=10))
-    cap2 = CaptureThread(src2).start()
+    cap2 = CaptureThread(src2)
+    cap2.suspend()
+    cap2.start()
     sess.capture = cap2
     gate.set_pressed(False)
     resumer = threading.Timer(0.3, gate.set_pressed, args=(True,))

@@ -303,6 +303,32 @@ def test_capture_suspend_parks_producer_and_clears_ring():
     cap.stop()
 
 
+def test_capture_created_suspended_resumed_by_session(tmp_path):
+    """suspend() before start() parks the producer AHEAD of its first
+    source read (the Pi boots with the button up), consuming no audio; a
+    session whose gate is pressed resumes it on the first tick instead of
+    deadlocking on the empty ring."""
+    src = ArraySource((np.random.RandomState(5).randn(40960 * 2)
+                       * 3000).astype(np.int16))
+    cap = CaptureThread(src)
+    cap.suspend()
+    cap.start()
+    assert cap.suspended
+    import time as _t
+
+    _t.sleep(0.05)
+    assert cap.ring.available == 0          # nothing consumed pre-resume
+
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    sess = OverlapSession(pred, cap, tmp_path / "exp")
+    sess.set_noise_profile(
+        (np.random.RandomState(3).randn(160000) * 20).astype(np.int16))
+    results = sess.run(max_windows=2)       # gate defaults to pressed
+    cap.stop()
+    assert len(results) == 2
+
+
 def test_host_preprocess_matches_device_webrtc(tmp_path):
     """The host-preprocess split (CPU denoise + native webrtc + CPU trim +
     predictor) must label identically to the fully-fused device program in

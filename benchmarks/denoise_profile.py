@@ -55,19 +55,13 @@ def main():
         return re, im
 
     def mask_stage(re, im):
-        # mirrors reduce_noise's current mask: squared-magnitude gate (no
-        # abs/sqrt/log materializations) + banded-GEMM smoothing (the old
-        # dB-domain compare measured ~1 ms more; the C_in=1 conv2d smoothing
-        # form measured 215.7 ms here)
+        # the production gate (dn.gate_mask: squared-magnitude domain, no
+        # abs/sqrt/log materializations) + banded-GEMM smoothing (the
+        # C_in=1 conv2d smoothing form measured 215.7 ms here)
         v_f, v_t = dn._smoothing_factors(
             sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
             cfg.time_mask_smooth_ms)
-        magsq = jnp.maximum(re * re + im * im, 1e-40)
-        thr_sq = jnp.power(10.0, nt / 10.0)
-        peak_sq = jnp.max(magsq, axis=(-2, -1), keepdims=True)
-        mask = jnp.logical_or(magsq > thr_sq,
-                              peak_sq > thr_sq * 1e8).astype(jnp.float32)
-        mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+        mask = dn.gate_mask(re, im, nt, cfg.prop_decrease)
         mf = jnp.asarray(dn._band_matrix(v_f, mask.shape[-1]))
         mt_t = jnp.asarray(dn._band_matrix(v_t, mask.shape[-2]).T)
         sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,

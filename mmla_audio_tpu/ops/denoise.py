@@ -33,7 +33,8 @@ import numpy as np
 from mmla_audio_tpu.core.config import DenoiseConfig
 from mmla_audio_tpu.ops.spectral import frame_signal, hann_periodic
 
-__all__ = ["quantize_i16", "amp_to_db", "noise_threshold", "reduce_noise", "smoothing_filter"]
+__all__ = ["quantize_i16", "amp_to_db", "gate_mask", "noise_threshold",
+           "reduce_noise", "smoothing_filter"]
 
 
 def quantize_i16(y):
@@ -72,21 +73,32 @@ def _chunk_pad(cfg: DenoiseConfig, sr: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _bases(n_fft: int):
-    """Windowed forward rDFT bases and inverse (bins -> time) bases."""
+def _bases_f64(n_fft: int):
+    """f64 windowed forward rDFT bases, UNwindowed inverse bases, and the
+    synthesis window — the ONE construction both the whole-frame and
+    hop-block-split basis caches slice/cast from (the DFT convention lives
+    here exactly once)."""
     k = np.arange(n_fft // 2 + 1)
     t = np.arange(n_fft)
     ang = 2.0 * np.pi * np.outer(t, k) / n_fft
     w = hann_periodic(n_fft).astype(np.float64)
-    fwd_cos = (np.cos(ang) * w[:, None]).astype(np.float32)
-    fwd_sin = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    fwd_cos = np.cos(ang) * w[:, None]
+    fwd_sin = -np.sin(ang) * w[:, None]
     # inverse: x_t = (1/N) [sum_k c_k (a_k cos - b_k sin)], c = 2 except DC/Nyq
     c = np.full(n_fft // 2 + 1, 2.0)
     c[0] = 1.0
     c[-1] = 1.0
-    inv_cos = (np.cos(ang) * c[None, :] / n_fft).astype(np.float32)   # (T, K)
-    inv_sin = (np.sin(ang) * c[None, :] / n_fft).astype(np.float32)
-    return fwd_cos, fwd_sin, inv_cos, inv_sin
+    inv_cos = np.cos(ang) * c[None, :] / n_fft                        # (T, K)
+    inv_sin = np.sin(ang) * c[None, :] / n_fft
+    return fwd_cos, fwd_sin, inv_cos, inv_sin, w
+
+
+@functools.lru_cache(maxsize=None)
+def _bases(n_fft: int):
+    """Windowed forward rDFT bases and inverse (bins -> time) bases."""
+    fwd_cos, fwd_sin, inv_cos, inv_sin, _ = _bases_f64(n_fft)
+    return (fwd_cos.astype(np.float32), fwd_sin.astype(np.float32),
+            inv_cos.astype(np.float32), inv_sin.astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -100,17 +112,9 @@ def _bases_split(n_fft: int, hop: int):
     hop-block COLUMNS of the synthesis-WINDOW-FOLDED inverse bases, so each
     GEMM emits one shifted overlap-add part and the separate windowing
     multiply (a full frames-tensor broadcast) disappears."""
-    k = np.arange(n_fft // 2 + 1)
-    t = np.arange(n_fft)
-    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
-    w = hann_periodic(n_fft).astype(np.float64)
-    fwd_cos = np.cos(ang) * w[:, None]
-    fwd_sin = -np.sin(ang) * w[:, None]
-    c = np.full(n_fft // 2 + 1, 2.0)
-    c[0] = 1.0
-    c[-1] = 1.0
-    inv_cos_w = (np.cos(ang) * c[None, :] / n_fft) * w[:, None]
-    inv_sin_w = (np.sin(ang) * c[None, :] / n_fft) * w[:, None]
+    fwd_cos, fwd_sin, inv_cos, inv_sin, w = _bases_f64(n_fft)
+    inv_cos_w = inv_cos * w[:, None]
+    inv_sin_w = inv_sin * w[:, None]
     r = n_fft // hop
     fc = tuple(np.ascontiguousarray(
         fwd_cos[j * hop:(j + 1) * hop]).astype(np.float32) for j in range(r))
@@ -166,6 +170,7 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
     T = re.shape[-2]
     total = n_fft + (T - 1) * hop
     batch = re.shape[:-2]
+    w_np = np.asarray(hann_periodic(n_fft), np.float64)
     if n_fft % hop == 0:
         # hop divides n_fft (the noisereduce geometry: 1024/256): each frame
         # contributes r = n_fft//hop aligned hop-blocks, so overlap-add is r
@@ -195,7 +200,6 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
                         precision=jax.lax.Precision.HIGHEST)
              - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST))
-        w_np = np.asarray(hann_periodic(n_fft), np.float64)
         xw = x * jnp.asarray(w_np, jnp.float32)           # synthesis window
         idx = (np.arange(T)[:, None] * hop
                + np.arange(n_fft)[None, :]).reshape(-1)
@@ -207,7 +211,6 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
         flat = xw.reshape((-1, T * n_fft))
         y = jax.vmap(oadd)(flat).reshape(batch + (total,))
     # squared-window normalization is input-independent: precompute on host
-    w_np = np.asarray(hann_periodic(n_fft), np.float64)
     wsq_np = np.zeros(total, np.float64)
     for t in range(T):
         wsq_np[t * hop: t * hop + n_fft] += w_np * w_np
@@ -272,6 +275,34 @@ def _band_matrix(v: np.ndarray, n: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+_AMIN = 1e-20     # librosa amplitude_to_db amin
+_TOP_DB = 80.0    # librosa amplitude_to_db top_db (see amp_to_db)
+
+
+def gate_mask(re: jnp.ndarray, im: jnp.ndarray, noise_thresh: jnp.ndarray,
+              prop_decrease: float) -> jnp.ndarray:
+    """The spectral gate's pre-smoothing mask, computed in the
+    SQUARED-magnitude domain: sqrt and log10 are monotonic, so with
+    ``amin = 1e-20`` and ``top_db = 80`` (the `amp_to_db` constants)
+
+      db > nt  <=>  raw_db > nt  OR  peak_db - top_db > nt
+               <=>  max(mag^2, amin^2) > 10^(nt/10)
+                    OR  max_magsq > 10^(nt/10) * 10^(top_db/10) .
+
+    Equivalent decisions to ``amp_to_db(mag, reduce_axes=(-2, -1)) > nt``
+    up to fp rounding exactly at the boundary; removes the abs/sqrt/log
+    full-spectrogram materializations (~0.8 GB/step at b512 — HLO audit,
+    benchmarks/serve_roofline.py).  THE one encoding of the gate decision;
+    benchmarks import it rather than restating the constants."""
+    magsq = jnp.maximum(re * re + im * im, _AMIN * _AMIN)
+    thr_sq = jnp.power(10.0, noise_thresh / 10.0)
+    peak_sq = jnp.max(magsq, axis=(-2, -1), keepdims=True)
+    mask = jnp.logical_or(
+        magsq > thr_sq,
+        peak_sq > thr_sq * 10.0 ** (_TOP_DB / 10.0)).astype(jnp.float32)
+    return mask * prop_decrease + (1.0 - prop_decrease)
+
+
 def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
                     ) -> jnp.ndarray:
     """Per-frequency gate threshold from the ambient-noise clip:
@@ -309,27 +340,13 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         sr, cfg.n_fft, cfg.hop_length, cfg.freq_mask_smooth_hz,
         cfg.time_mask_smooth_ms)
 
-    mf = mt = None
+    mf = mt_t = None
     for pass_idx in range(passes):
         if pass_idx > 0 and quantize_between_passes:
             y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) / 32768.0
         yp = jnp.pad(y, pad_cfg)
         re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length)  # (..., T, K)
-        # Gate mask computed in the SQUARED-magnitude domain: sqrt and
-        # log10 are monotonic, so with amin = 1e-20 and top_db = 80
-        #   db > nt  <=>  raw_db > nt  OR  peak_db - 80 > nt
-        #            <=>  max(mag^2, amin^2) > 10^(nt/10)
-        #                 OR  max_magsq > 10^(nt/10) * 1e8 .
-        # Equivalent decisions to `amp_to_db(mag, reduce_axes) > nt` up to
-        # fp rounding exactly at the boundary; removes the abs/sqrt/log
-        # full-spectrogram materializations (~0.8 GB/step at b512 — HLO
-        # audit, benchmarks/serve_roofline.py).
-        magsq = jnp.maximum(re * re + im * im, 1e-40)
-        thr_sq = jnp.power(10.0, noise_thresh / 10.0)
-        peak_sq = jnp.max(magsq, axis=(-2, -1), keepdims=True)
-        mask = jnp.logical_or(magsq > thr_sq,
-                              peak_sq > thr_sq * 1e8).astype(jnp.float32)
-        mask = mask * cfg.prop_decrease + (1.0 - cfg.prop_decrease)
+        mask = gate_mask(re, im, noise_thresh, cfg.prop_decrease)
         # 'same' 2-D smoothing convolution.  The kernel is rank-1
         # (outer(v_f, v_t)), so it factors into two 1-D convolutions, each
         # expressed as a banded-matrix GEMM — MXU-resident.  The literal

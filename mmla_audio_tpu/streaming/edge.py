@@ -158,9 +158,14 @@ class EdgeSpeakerSession(SpeakerSession):
         self._aot = None    # new head -> recompile the pinned program
 
     def register_speaker(self, name, seconds=None):
-        # Registration happens on-device behind the same gate as capture.
+        # Registration happens on-device behind the same gate as capture;
+        # once pressed, make sure the capture is actually producing (it may
+        # have been created suspended — button up at boot — or parked by an
+        # earlier gate release; enrollment would otherwise record zeros
+        # after a read timeout).
         if self.gate is not None:
             self.gate.wait_pressed()
+            self._ensure_capturing()
         return super().register_speaker(name, seconds)
 
     def process_window(self, window_i16: np.ndarray):

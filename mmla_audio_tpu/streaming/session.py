@@ -212,21 +212,38 @@ class StreamingSession:
         return self._hostpre.window(window_i16)
 
     # -- loop -------------------------------------------------------------------
+    def _suspend_target(self):
+        """The object owning producer suspension: the capture itself when it
+        manages its producer thread (CaptureThread), else the raw source."""
+        return self.capture if hasattr(self.capture, "suspend") else \
+            getattr(self.capture, "source", None)
+
+    def _ensure_capturing(self) -> None:
+        """Gate pressed: make sure the capture is producing — resumes a
+        capture created suspended (gate released at boot) or parked by an
+        earlier gate release.  Shared by the run loop and gated
+        registration (both consume windows behind the same gate)."""
+        target = self._suspend_target()
+        if hasattr(target, "resume"):
+            target.resume()
+
     def run(self, max_windows: Optional[int] = None,
             on_result: Optional[Callable] = None) -> list:
         """Consume windows until EOF/max_windows; returns [(idx, label, ts)]."""
         assert self.noise_thresh is not None, "calibrate() first"
         results = []
         n_win = self.cfg.audio.window_samples
-        src = getattr(self.capture, "source", None)
         # CaptureThread owns suspension (the producer thread suspends the
         # source itself — closing a PyAudio stream under a blocked read from
         # this thread kills capture); raw sources fall back to direct calls.
-        sus_target = self.capture if hasattr(self.capture, "suspend") else src
+        sus_target = self._suspend_target()
         # honor a capture created suspended (gate released at startup — the
         # Pi boots with the button up): the first gate-pressed tick resumes
-        # it instead of deadlocking on an empty ring
-        suspended = bool(getattr(sus_target, "suspended", False))
+        # it instead of deadlocking on an empty ring.  ONLY gated sessions
+        # adopt an external suspension — an always-on session (gate=None)
+        # must not un-mute a capture an operator parked.
+        suspended = self.gate is not None and \
+            bool(getattr(sus_target, "suspended", False))
         try:
             while max_windows is None or len(results) < max_windows:
                 if self.gate is not None and not self.gate.pressed:
@@ -236,8 +253,7 @@ class StreamingSession:
                     if not self.gate.wait_pressed(timeout=0.1):
                         continue
                 if suspended:
-                    if hasattr(sus_target, "resume"):
-                        sus_target.resume()
+                    self._ensure_capturing()
                     suspended = False
                 window = self.capture.read_window(n_win, timeout=30.0)
                 if window is None:

@@ -103,9 +103,13 @@ def test_reduce_noise_batched_matches_single():
     def chain(y):
         return quantize_i16(reduce_noise(y, thr))
 
+    # compare EVERY batch row (batched-lowering divergence can hit only
+    # non-leading rows via tiling/remainder paths)
     b = np.asarray(jax.jit(jax.vmap(chain))(jnp.asarray(np.stack([w0, w1]))))
     q0 = np.asarray(jax.jit(chain)(jnp.asarray(w0)))
+    q1 = np.asarray(jax.jit(chain)(jnp.asarray(w1)))
     np.testing.assert_array_equal(b[0], q0)
+    np.testing.assert_array_equal(b[1], q1)
 
 
 def test_multi_pass():

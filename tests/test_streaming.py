@@ -306,27 +306,48 @@ def test_capture_suspend_parks_producer_and_clears_ring():
 def test_capture_created_suspended_resumed_by_session(tmp_path):
     """suspend() before start() parks the producer AHEAD of its first
     source read (the Pi boots with the button up), consuming no audio; a
-    session whose gate is pressed resumes it on the first tick instead of
-    deadlocking on the empty ring."""
+    GATED session whose gate is pressed resumes it on the first tick
+    instead of deadlocking on the empty ring.  A gate-less (always-on)
+    session must NOT adopt the external suspension — an operator mute
+    stays muted."""
+    import time as _t
+
+    from mmla_audio_tpu.streaming.edge import GateSource
+
     src = ArraySource((np.random.RandomState(5).randn(40960 * 2)
                        * 3000).astype(np.int16))
     cap = CaptureThread(src)
     cap.suspend()
     cap.start()
     assert cap.suspended
-    import time as _t
-
     _t.sleep(0.05)
     assert cap.ring.available == 0          # nothing consumed pre-resume
 
     pred = OverlapPredictor(
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
-    sess = OverlapSession(pred, cap, tmp_path / "exp")
+    sess = OverlapSession(pred, cap, tmp_path / "exp",
+                          gate=GateSource(pressed=True))
     sess.set_noise_profile(
         (np.random.RandomState(3).randn(160000) * 20).astype(np.int16))
-    results = sess.run(max_windows=2)       # gate defaults to pressed
+    results = sess.run(max_windows=2)
     cap.stop()
     assert len(results) == 2
+
+    # gate-less session: the externally-parked capture is left parked
+    src2 = ArraySource((np.random.RandomState(6).randn(40960)
+                        * 3000).astype(np.int16))
+    cap2 = CaptureThread(src2)
+    cap2.suspend()
+    cap2.start()
+    sess2 = OverlapSession(pred, cap2, tmp_path / "exp2")
+    sess2.set_noise_profile(
+        (np.random.RandomState(3).randn(160000) * 20).astype(np.int16))
+    orig_read = cap2.read_window
+    cap2.read_window = lambda n, timeout=30.0: orig_read(n, timeout=0.3)
+    results2 = sess2.run(max_windows=1)     # must NOT resume; times out
+    assert results2 == []
+    assert cap2.suspended and cap2.ring.available == 0
+    cap2.stop()
 
 
 def test_host_preprocess_matches_device_webrtc(tmp_path):

@@ -102,9 +102,12 @@ def _hp80_fir(n: int = _FIR_TAPS) -> np.ndarray:
     return h
 
 
-_H_UPPER = jnp.asarray(_allpass_fir(_AP_UPPER))
-_H_LOWER = jnp.asarray(_allpass_fir(_AP_LOWER))
-_H_HP80 = jnp.asarray(_hp80_fir())
+# host numpy constants — a module-level jnp.asarray would device_put at
+# IMPORT time, forcing backend init (and hanging every CPU-only import when
+# the TPU tunnel is unreachable); jnp ops fold these at trace time instead
+_H_UPPER = _allpass_fir(_AP_UPPER).astype(np.float32)
+_H_LOWER = _allpass_fir(_AP_LOWER).astype(np.float32)
+_H_HP80 = _hp80_fir().astype(np.float32)
 
 
 def _corr(xp: jnp.ndarray, h: jnp.ndarray, n: int) -> jnp.ndarray:

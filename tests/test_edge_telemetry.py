@@ -110,6 +110,35 @@ def test_accuracy_sweep_and_violin(tmp_path):
     assert out.exists() and "<svg" in out.read_text()
 
 
+def test_edge_register_resumes_capture_created_suspended(tmp_path):
+    """A capture created suspended (button up at boot) must be resumed by
+    gated registration once the gate is pressed — regression: the resume
+    lived only in run(), so enrollment read a parked producer, timed out,
+    and recorded zeros."""
+    from mmla_audio_tpu.inference import SpeakerPredictor
+    from mmla_audio_tpu.streaming.edge import EdgeSpeakerSession
+
+    cfg = PipelineConfig(
+        speaker_model=SpeakerModelConfig(stage_filters=(8, 8, 8),
+                                         lstm_units=16, num_speakers=20))
+    pred = SpeakerPredictor(
+        SpeakerResBLSTM(cfg.speaker_model).init_variables(
+            jax.random.PRNGKey(0)), cfg.speaker_model)
+    cap = CaptureThread(ArraySource(synth_speech_i16(16000 * 8, seed=10)))
+    cap.suspend()                               # boot state: button up
+    cap.start()
+    sess = EdgeSpeakerSession(pred, cap, tmp_path / "experiment",
+                              gate=GateSource(pressed=True), cfg=cfg)
+    sess.set_noise_profile(
+        (np.random.RandomState(4).randn(160000) * 5).astype(np.int16))
+    path = sess.register_speaker("alice", seconds=4)
+    cap.stop()
+    from mmla_audio_tpu.data.wavio import read_wav
+
+    audio, _sr = read_wav(path)
+    assert len(audio) > 0 and np.abs(audio).max() > 0   # real audio, not zeros
+
+
 def test_edge_speaker_register_train_identify_through_gate(tmp_path):
     """The SI Pi composition (record_on_pi.py:199-378): gated on-device
     registration -> transfer-learn -> AOT-compiled identify loop, with the

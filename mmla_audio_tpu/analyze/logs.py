@@ -11,9 +11,15 @@ fixed ``timedelta`` (1.5 s OD / 2.56 s SI) per segment
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from datetime import datetime, timedelta
 from pathlib import Path
 from typing import Iterable, List, Tuple
+
+# bounded LRU of persistent append handles: (id(log) -> (path, fh)).
+# Eviction closes the fd; the next append reopens in append mode.
+_OPEN_HANDLES: "OrderedDict[int, tuple]" = OrderedDict()
+_MAX_OPEN_HANDLES = 128
 
 __all__ = ["SessionLog", "parse_log"]
 
@@ -47,19 +53,33 @@ class SessionLog:
         # second header mid-file — parse_log would crash on it
         self._wrote_header = (self.path.exists()
                               and self.path.stat().st_size > 0)
-        self._fh = None
 
     def _file(self):
         # persistent append handle: at hundreds of multiplexed streams the
         # per-row open/close was ~5-20 us x streams per tick; flush after
-        # every row keeps the file readable by concurrent parse_log calls
-        if self._fh is None or self._fh.closed:
-            self._fh = open(self.path, "a")
-        return self._fh
+        # every row keeps the file readable by concurrent parse_log calls.
+        # Handles live in a bounded global LRU — one fd per log would
+        # exhaust a 1024-fd ulimit at the 1024-stream multiplexer scale
+        # (append mode makes eviction+reopen transparent).
+        key = id(self)
+        ent = _OPEN_HANDLES.get(key)
+        if ent is not None and ent[0] == self.path and not ent[1].closed:
+            _OPEN_HANDLES.move_to_end(key)
+            return ent[1]
+        fh = open(self.path, "a")
+        _OPEN_HANDLES[key] = (self.path, fh)
+        while len(_OPEN_HANDLES) > _MAX_OPEN_HANDLES:
+            _, (_p, old) = _OPEN_HANDLES.popitem(last=False)
+            try:
+                old.close()
+            except Exception:
+                pass
+        return fh
 
     def close(self) -> None:
-        if self._fh is not None and not self._fh.closed:
-            self._fh.close()
+        ent = _OPEN_HANDLES.pop(id(self), None)
+        if ent is not None and not ent[1].closed:
+            ent[1].close()
 
     def __del__(self):
         try:

@@ -21,6 +21,7 @@ call (all windows of a conversation in a single program execution).
 
 from __future__ import annotations
 
+import functools
 from datetime import datetime, timedelta
 from pathlib import Path
 from typing import Dict
@@ -40,6 +41,34 @@ from mmla_audio_tpu.vad import calibrate_threshold, collect_mask, energy_vad, fr
 
 __all__ = ["overlap_post_analyze", "speaker_post_analyze",
            "speaker_id_dict_from_corpus"]
+
+
+@functools.lru_cache(maxsize=None)
+def _webrtc_seg_scan(mode: int, frame_len: int, sample_rate: int, ring: int):
+    """One cached jitted program per VAD config: scans the webrtc detector
+    state across a conversation's segments, emitting kept-frame counts.
+    A fresh ``jax.jit(lambda ...)`` per FILE defeats the jit cache and
+    recompiles the expensive sample-serial webrtc scan for every wav
+    (minutes each through the dev tunnel)."""
+    from mmla_audio_tpu.vad.webrtc import webrtc_vad_frames
+
+    def _seg_step(st, seg):
+        dec, st = webrtc_vad_frames(seg, st, mode=mode, frame_len=frame_len,
+                                    sample_rate=sample_rate)
+        return st, collect_mask(dec, ring=ring).sum()
+
+    return jax.jit(lambda st, s: jax.lax.scan(_seg_step, st, s))
+
+
+@functools.lru_cache(maxsize=None)
+def _energy_seg_counts(ring: int):
+    """Cached jitted per-segment energy-VAD kept-frame counter (threshold
+    passed as an operand so one program serves every file/session)."""
+    def _kept_frames(fr, thr):
+        dec = energy_vad(fr, thr)
+        return collect_mask(dec, ring=ring).sum()
+
+    return jax.jit(jax.vmap(_kept_frames, in_axes=(0, None)))
 
 
 def _standardize_file(path: Path, dirs: ExperimentDirs, noise, passes_audio: int,
@@ -142,34 +171,21 @@ def speaker_post_analyze(dirs: ExperimentDirs, predictor, *,
             if vad_box is not None:
                 # segment decisions are state-sequential (the detector
                 # adapts across segments): lax.scan threads the webrtc
-                # state through the conversation in order, one device
-                # program per file; the final state carries to the next file
-                from mmla_audio_tpu.vad.webrtc import webrtc_vad_frames
-
+                # state through the conversation in order, one CACHED
+                # device program per VAD config (+ shape); the final state
+                # carries to the next file
                 seg_i32 = jnp.asarray(
                     segs[:, : T * frame_len].astype(np.int32))
-
-                def _seg_step(st, seg):
-                    dec, st = webrtc_vad_frames(
-                        seg, st, mode=cfg.vad.aggressiveness,
-                        frame_len=frame_len, sample_rate=sr)
-                    return st, collect_mask(
-                        dec, ring=cfg.vad.ring_frames).sum()
-
-                vad_box.state, kept = jax.jit(
-                    lambda st, s: jax.lax.scan(_seg_step, st, s))(
-                    vad_box.state, seg_i32)
+                scan = _webrtc_seg_scan(cfg.vad.aggressiveness, frame_len,
+                                        sr, cfg.vad.ring_frames)
+                vad_box.state, kept = scan(vad_box.state, seg_i32)
                 kept = np.asarray(kept)
             else:
                 frames = segs[:, : T * frame_len].astype(np.float32) \
                     .reshape(len(segs), T, frame_len)
-
-                def _kept_frames(fr):
-                    dec = energy_vad(fr, vad_thr)
-                    return collect_mask(dec, ring=cfg.vad.ring_frames).sum()
-
-                kept = np.asarray(jax.jit(jax.vmap(_kept_frames))(
-                    jnp.asarray(frames)))
+                kept = np.asarray(_energy_seg_counts(cfg.vad.ring_frames)(
+                    jnp.asarray(frames),
+                    jnp.asarray(vad_thr, jnp.float32)))
             silent = {i for i in range(len(segs))
                       if kept[i] * frame_len
                       < cfg.speaker_feature.silent_samples}

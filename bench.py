@@ -359,7 +359,27 @@ def bench_live(window_sec, n_streams: int = 64, reps: int = 2):
     return best
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Backend init in a killable subprocess: a dead accelerator tunnel
+    makes in-process ``jax.devices()`` hang indefinitely (observed: hours),
+    which would hang the whole bench run — fail fast and loud instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        _log("FATAL: jax backend failed to initialize within 180 s "
+             "(accelerator tunnel down?) — no benchmark numbers produced")
+        sys.exit(1)
+
     import jax
 
     from mmla_audio_tpu.core.config import AudioConfig

@@ -24,3 +24,26 @@ def test_session_log_resume_fresh(tmp_path):
     assert resumed.index == 1
     resumed.append("overlapped", datetime(2026, 1, 1))
     assert parse_log(tmp_path / "new.txt")[0][0] == 1
+
+
+def test_log_handle_lru_eviction(tmp_path):
+    """More logs than the open-handle cap must not exhaust fds: eviction
+    closes the oldest handle and the next append transparently reopens in
+    append mode (regression for the 1024-stream multiplexer scale)."""
+    from mmla_audio_tpu.analyze import logs as logs_mod
+
+    n = logs_mod._MAX_OPEN_HANDLES + 40
+    ts = datetime(2026, 1, 2, 3, 4, 5)
+    sls = [SessionLog(tmp_path / f"log{i}.txt", kind="overlap")
+           for i in range(n)]
+    for i, sl in enumerate(sls):
+        sl.append(str(i % 3), ts)
+    assert len(logs_mod._OPEN_HANDLES) <= logs_mod._MAX_OPEN_HANDLES
+    # the first log's handle was evicted — append again through a reopen
+    sls[0].append("1", ts)
+    for i in (0, 1, n - 1):
+        rows = parse_log(sls[i].path)
+        assert rows and rows[0][0] == 1
+    assert len(parse_log(sls[0].path)) == 2       # both rows, one header
+    for sl in sls:
+        sl.close()

@@ -1,0 +1,228 @@
+"""Does HIGH (3-pass) precision preserve the denoise chain's parity contract?
+
+The serve chain's stopping-point analysis (docs/performance.md) found the
+denoise stage MXU-PASS-bound: nearly all its time is HIGHEST-precision f32
+GEMMs, which the MXU executes as ~6 bf16 passes.  TPU also offers
+``Precision.HIGH`` — 3 passes, ~f32-accurate (error ~2^-22 relative vs
+DEFAULT's ~2^-8) — which would halve the chain's MXU-pass floor *if* it
+preserves the two measured contracts that justified HIGHEST:
+
+  1. int16-sample fidelity: the denoised window is consumed through
+     ``quantize_i16`` (the reference's PCM16 WAV round-trip), so only
+     errors crossing a 1/32768 rounding boundary are observable at all.
+  2. TPU<->CPU label parity: the f32 parity config advertises 1.000
+     overlap label agreement vs a CPU run on adversarial random-init
+     windows (benchmarks/tpu_cpu_parity.py); the round-2 regression that
+     forced HIGHEST was a DEFAULT-precision (1-pass bf16) mask conv.
+
+This probe measures, on the chip:
+  - denoise int16 flips: TPU@HIGH and TPU@HIGHEST vs the CPU float
+    reference (B=64 adversarial windows, 1x and 3x passes);
+  - full serve-chain label agreement (denoise+VAD+trim+featurize+model)
+    at B=64: TPU@HIGH vs TPU@HIGHEST vs CPU;
+  - batched-vs-single bit-equality at HIGH on TPU (the multiplexer
+    contract pinned in test_denoise for CPU);
+  - sustained b512 timing of the denoise stage and the full serve chain
+    at HIGHEST / HIGH / DEFAULT (K-chained scan, CLAUDE.md discipline);
+  - the model-trunk ladder point: tpu_cpu_parity's B=64 agreement/step
+    with ``matmul_precision="high"`` (strict mode costs 2.05x; does HIGH
+    buy bit-stable labels cheaper?).
+
+Usage: python benchmarks/precision_probe.py   (TPU; ~5 min of compiles)
+"""
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+B_TIME = 512
+B_PARITY = 64
+K = 32
+
+
+def _chained_ms(fn, x, K=K):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(xx):
+        def body(carry, _):
+            out = fn(carry)
+            lead = jax.tree_util.tree_leaves(out)[0]
+            bump = jnp.sum(lead).astype(carry.dtype) * 1e-12
+            return carry + bump, lead.ravel()[0]
+        _, outs = jax.lax.scan(body, xx, jnp.arange(K))
+        return outs
+
+    _ = np.asarray(run(x)[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(x)[-1])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / K * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.tpu_cpu_parity import make_windows
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.inference import OverlapPredictor
+    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
+    from mmla_audio_tpu.ops.denoise import (noise_threshold, quantize_i16,
+                                            reduce_noise)
+    from mmla_audio_tpu.ops.features import overlap_model_input
+    from mmla_audio_tpu.streaming.session import preprocess_window
+
+    cpu = jax.devices("cpu")[0]
+    acc = jax.devices()[0]
+    out = {"metric": "precision_probe", "device": str(acc)}
+
+    cfg0 = PipelineConfig()
+    sr = cfg0.audio.sample_rate
+    n_samp = cfg0.audio.window_samples
+    rng = np.random.RandomState(2)
+    noise = (rng.randn(160000) * 20).astype(np.int16)
+    nt1 = np.asarray(noise_threshold(
+        jnp.asarray(noise.astype(np.float32) / 32768.0), cfg0.denoise))
+
+    def denoise_i16(dcfg, passes):
+        def f(b):
+            def one(r):
+                y = reduce_noise(r / 32768.0, jnp.asarray(nt1), dcfg,
+                                 sr=sr, passes=passes)
+                # int16 halves the dev-tunnel fetch (values are already
+                # quantized to the PCM16 grid)
+                return quantize_i16(y).astype(jnp.int16)
+            return jax.vmap(one)(b)
+        return f
+
+    buf64, n64 = make_windows(np.random.RandomState(0))
+
+    # ---- 1. int16 fidelity of the denoised window ----------------------
+    flips = {}
+    for passes in (1, 3):
+        ref = None
+        got = {}
+        for prec in ("highest", "high"):
+            dcfg = dataclasses.replace(cfg0.denoise, precision=prec)
+            f = denoise_i16(dcfg, passes)
+            x_cpu = jax.device_put(jnp.asarray(buf64), cpu)
+            if ref is None:
+                ref = np.asarray(jax.jit(f, device=cpu)(x_cpu))
+            x_acc = jax.device_put(jnp.asarray(buf64), acc)
+            got[prec] = np.asarray(jax.jit(f, device=acc)(x_acc))
+        for prec, g in got.items():
+            fl = float(np.mean(g != ref))
+            mx = float(np.max(np.abs(g - ref)))
+            flips[f"denoise_p{passes}_{prec}"] = {
+                "i16_flip_rate_vs_cpu": fl, "max_i16_delta": mx}
+            print(f"[probe] denoise x{passes} {prec}: flip rate vs CPU "
+                  f"{fl:.2e}, max |delta| {mx:.0f}", file=sys.stderr,
+                  flush=True)
+        hh = float(np.mean(got["high"] != got["highest"]))
+        flips[f"denoise_p{passes}_high_vs_highest"] = hh
+        print(f"[probe] denoise x{passes} high-vs-highest flip rate {hh:.2e}",
+              file=sys.stderr, flush=True)
+    out["denoise_i16"] = flips
+
+    # ---- 2. serve-chain labels (B=64, CPU vs TPU@highest vs TPU@high) --
+    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
+    pred = OverlapPredictor(variables)
+
+    def serve_fn(dcfg, B):
+        nt = jnp.broadcast_to(jnp.asarray(nt1), (B,) + nt1.shape)
+        vt = jnp.full((B,), 30.0, jnp.float32)
+        cfg = dataclasses.replace(cfg0, denoise=dcfg)
+
+        def f(b):
+            trimmed, n_out, _ = jax.vmap(
+                lambda r, nthr, vthr: preprocess_window(r, nthr, vthr, cfg))(
+                b, nt, vt)
+            img = overlap_model_input(
+                trimmed[:, : cfg.overlap_feature.n_samples] / 32768.0,
+                cfg.overlap_feature)
+            logits = pred.apply_model(variables, img)
+            labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.where(n_out < cfg.vad.silent_samples, -1, labels), \
+                logits
+        return f
+
+    labels = {}
+    for prec in ("highest", "high"):
+        dcfg = dataclasses.replace(cfg0.denoise, precision=prec)
+        f = serve_fn(dcfg, B_PARITY)
+        if prec == "highest":
+            labels["cpu"] = np.asarray(jax.jit(f, device=cpu)(
+                jax.device_put(jnp.asarray(buf64), cpu))[0])
+        labels[prec] = np.asarray(jax.jit(f, device=acc)(
+            jax.device_put(jnp.asarray(buf64), acc))[0])
+    out["serve_label_agreement"] = {
+        "tpu_highest_vs_cpu": float(np.mean(labels["highest"] == labels["cpu"])),
+        "tpu_high_vs_cpu": float(np.mean(labels["high"] == labels["cpu"])),
+        "tpu_high_vs_tpu_highest": float(
+            np.mean(labels["high"] == labels["highest"])),
+    }
+    print(f"[probe] serve labels: {out['serve_label_agreement']}",
+          file=sys.stderr, flush=True)
+
+    # ---- 3. batched-vs-single bit-equality at HIGH on TPU --------------
+    dcfg_h = dataclasses.replace(cfg0.denoise, precision="high")
+    f = denoise_i16(dcfg_h, 1)
+    xb = jax.device_put(jnp.asarray(buf64[:8]), acc)
+    batched = np.asarray(jax.jit(f, device=acc)(xb))
+    single = np.stack([np.asarray(jax.jit(f, device=acc)(xb[i: i + 1]))[0]
+                       for i in range(8)])
+    out["high_batch_invariant"] = bool(np.array_equal(batched, single))
+    print(f"[probe] HIGH batched==single on TPU: "
+          f"{out['high_batch_invariant']}", file=sys.stderr, flush=True)
+
+    # ---- 4. b512 timing: denoise stage + full serve chain --------------
+    buf512 = jnp.asarray(
+        (np.random.RandomState(2).randn(B_TIME, n_samp) * 3000)
+        .astype(np.float32))
+    timing = {}
+    for prec in ("highest", "high", "default"):
+        dcfg = dataclasses.replace(cfg0.denoise, precision=prec)
+        timing[f"denoise_ms_{prec}"] = round(
+            _chained_ms(denoise_i16(dcfg, 1), buf512), 3)
+        print(f"[probe] denoise b512 {prec}: "
+              f"{timing[f'denoise_ms_{prec}']} ms", file=sys.stderr,
+              flush=True)
+    for prec in ("highest", "high"):
+        dcfg = dataclasses.replace(cfg0.denoise, precision=prec)
+        timing[f"serve_ms_{prec}"] = round(
+            _chained_ms(serve_fn(dcfg, B_TIME), buf512), 3)
+        print(f"[probe] serve b512 {prec}: {timing[f'serve_ms_{prec}']} ms",
+              file=sys.stderr, flush=True)
+    out["timing_b512"] = timing
+
+    # ---- 5. model-trunk ladder point: matmul_precision="high" ----------
+    from benchmarks.tpu_cpu_parity import chained_step_ms, run_on
+    trunk = {}
+    for mode in ("high",):
+        fwd = OverlapPredictor(variables, matmul_precision=mode).lower_fn()
+        l_cpu, p_cpu = run_on(cpu, fwd, variables, buf64, n64)
+        l_tpu, p_tpu = run_on(acc, fwd, variables, buf64, n64)
+        trunk[mode] = {
+            "label_agreement": float(np.mean(l_cpu == l_tpu)),
+            "max_prob_drift": float(np.max(np.abs(p_cpu - p_tpu))),
+            "step_ms_b64": chained_step_ms(fwd, variables, buf64, n64),
+        }
+        print(f"[probe] trunk {mode}: {trunk[mode]}", file=sys.stderr,
+              flush=True)
+    out["trunk_ladder"] = trunk
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

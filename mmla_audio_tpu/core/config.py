@@ -159,6 +159,17 @@ class DenoiseConfig:
     passes_live: int = 1
     passes_post: int = 3
     passes_edge: int = 4
+    # MXU precision of the STFT/ISTFT/smoothing GEMMs.  TPU f32 matmuls
+    # default to ONE bf16 pass (which measurably flips labels vs a CPU
+    # run — the round-2 parity fix); "highest" (6 passes) is the measured
+    # bit-stable parity setting and the default (0.15 % int16 flips vs
+    # CPU, all ±1 LSB ties).  "high" (3 passes) is a measured fast mode —
+    # denoise 19.9→14.0 ms, serve chain 48.1→42.3 ms at b512, label
+    # agreement 1.000, batch-invariant — but flips 12 %/26 % of denoised
+    # PCM16 samples (1×/3× passes, up to 55 LSB), so it is only for
+    # deployments that consume labels, not waveforms
+    # (benchmarks/precision_probe.py; docs/performance.md).
+    precision: str = "highest"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,6 +49,13 @@ def quantize_i16(y):
 _PAD = 30_000  # noisereduce chunk padding
 
 
+def _prec(precision) -> jax.lax.Precision:
+    """DenoiseConfig.precision (str) -> jax.lax.Precision."""
+    if isinstance(precision, jax.lax.Precision):
+        return precision
+    return jax.lax.Precision(precision)
+
+
 def _chunk_pad(cfg: DenoiseConfig, sr: int) -> int:
     """Effective zero-pad per side.
 
@@ -129,7 +136,8 @@ def _bases_split(n_fft: int, hop: int):
     return fc, fs, ic, isn
 
 
-def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int):
+def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int,
+             precision=jax.lax.Precision.HIGHEST):
     """Centered (reflect) STFT -> (re, im) of shape (..., frames, bins)."""
     n = y.shape[-1]
     cfg = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
@@ -148,23 +156,24 @@ def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int):
         for j in range(r):
             sub = blocks[..., j: j + n_frames, :]
             rj = jnp.matmul(sub, fc[j], preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
             ij = jnp.matmul(sub, fs[j], preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
             re = rj if re is None else re + rj
             im = ij if im is None else im + ij
         return re, im
     frames = frame_signal(yp, n_fft, hop, n_frames)
     fc, fs, _, _ = _bases(n_fft)
     re = jnp.matmul(frames, fc, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     im = jnp.matmul(frames, fs, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     return re, im
 
 
 def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
-           out_len: int) -> jnp.ndarray:
+           out_len: int,
+           precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """librosa.istft: windowed inverse frames, overlap-add, /= win^2 sum,
     trim n_fft//2 head (centered)."""
     T = re.shape[-2]
@@ -187,9 +196,9 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
         parts = []
         for j in range(r):
             b = (jnp.matmul(re, ic[j], preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
                  - jnp.matmul(im, isn[j], preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
+                              precision=precision))
             pad = [(0, 0)] * len(batch) + [(j, r - 1 - j), (0, 0)]
             parts.append(jnp.pad(b, pad))
         y = sum(parts).reshape(batch + (total,))
@@ -197,9 +206,9 @@ def _istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
         _, _, ic, isn = _bases(n_fft)
         # x_frame (..., T, n_fft)
         x = (jnp.matmul(re, ic.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=precision)
              - jnp.matmul(im, isn.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST))
+                          precision=precision))
         xw = x * jnp.asarray(w_np, jnp.float32)           # synthesis window
         idx = (np.arange(T)[:, None] * hop
                + np.arange(n_fft)[None, :]).reshape(-1)
@@ -307,7 +316,8 @@ def noise_threshold(noise: jnp.ndarray, cfg: DenoiseConfig = DenoiseConfig()
                     ) -> jnp.ndarray:
     """Per-frequency gate threshold from the ambient-noise clip:
     ``mean_db + n_std * std_db`` over time.  ``noise (n,)`` float [-1, 1]."""
-    re, im = _stft_ri(noise, cfg.n_fft, cfg.hop_length)
+    re, im = _stft_ri(noise, cfg.n_fft, cfg.hop_length,
+                      precision=_prec(cfg.precision))
     mag = jnp.sqrt(re * re + im * im)
     db = amp_to_db(mag)                                   # (T, K)
     mean = jnp.mean(db, axis=-2)
@@ -334,6 +344,7 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
     equal within fp tolerance at ~2.2x less STFT/ISTFT work.
     """
     n = y.shape[-1]
+    precision = _prec(cfg.precision)
     pad = _PAD if full_pad else _chunk_pad(cfg, sr)
     pad_cfg = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
     v_f, v_t = _smoothing_factors(
@@ -345,7 +356,8 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         if pass_idx > 0 and quantize_between_passes:
             y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0) / 32768.0
         yp = jnp.pad(y, pad_cfg)
-        re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length)  # (..., T, K)
+        re, im = _stft_ri(yp, cfg.n_fft, cfg.hop_length,
+                          precision=precision)            # (..., T, K)
         mask = gate_mask(re, im, noise_thresh, cfg.prop_decrease)
         # 'same' 2-D smoothing convolution.  The kernel is rank-1
         # (outer(v_f, v_t)), so it factors into two 1-D convolutions, each
@@ -367,12 +379,13 @@ def reduce_noise(y: jnp.ndarray, noise_thresh: jnp.ndarray,
         # forms are measured batch-invariant, keeping the multiplexer's
         # batched chain bit-identical to the per-stream sessions.
         sm = jnp.matmul(mask, mf, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)      # freq axis
+                        precision=precision)      # freq axis
         sm = jnp.matmul(mt_t, sm, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)      # time axis
+                        precision=precision)      # time axis
         mask = sm
         re = re * mask
         im = im * mask
-        y = _istft(re, im, cfg.n_fft, cfg.hop_length, yp.shape[-1])
+        y = _istft(re, im, cfg.n_fft, cfg.hop_length, yp.shape[-1],
+                   precision=precision)
         y = y[..., pad: pad + n]
     return y

@@ -181,3 +181,31 @@ def test_short_pad_matches_full_pad():
         full = np.asarray(reduce_noise(jnp.asarray(sig), nt, cfg,
                                        passes=passes, full_pad=True))
         np.testing.assert_allclose(short, full, atol=2e-6)
+
+
+def test_precision_config_threads_into_gemms():
+    """``DenoiseConfig.precision`` must reach every STFT/ISTFT/smoothing
+    dot in the traced program (CPU ignores precision at runtime, so this
+    pins the *trace*: a silent drop of the flag would only surface as a
+    TPU-only parity regression)."""
+    import dataclasses
+    import jax
+
+    noise = _noise(160000, seed=3)
+    sig = jnp.asarray(_noise(40960, seed=4, amp=0.1))
+
+    for prec, expect in (("highest", jax.lax.Precision.HIGHEST),
+                         ("high", jax.lax.Precision.HIGH),
+                         ("default", jax.lax.Precision.DEFAULT)):
+        cfg = dataclasses.replace(DenoiseConfig(), precision=prec)
+        nt = noise_threshold(jnp.asarray(noise), cfg)
+        jaxpr = jax.make_jaxpr(
+            lambda y: reduce_noise(y, nt, cfg))(sig)
+        precisions = [
+            eqn.params["precision"]
+            for eqn in jaxpr.jaxpr.eqns
+            if eqn.primitive.name == "dot_general"
+        ]
+        assert precisions, "denoise lost its GEMM formulation"
+        assert all(p == (expect, expect) for p in precisions), (
+            prec, set(precisions))

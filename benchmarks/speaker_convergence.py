@@ -95,27 +95,38 @@ def main():
     featurize = jax.jit(jax.vmap(lambda w: speaker_feature(
         w, jnp.asarray(N_WIN), fcfg)[0]))
 
-    def features_for(speaker_seed, n_windows, base_seed):
-        # one batched device call per speaker (a per-window loop costs the
-        # ~0.35 s tunnel round-trip 768 times: 282 s vs ~30 s).
+    def features_for_all(speaker_seeds, n_windows, base_seed, chunk=1024):
+        # chunked batched device calls ACROSS speakers (a per-speaker loop
+        # at 630 speakers costs the ~0.35 s tunnel round-trip 630 times;
+        # a per-window loop, 7560 times: 282 s vs ~30 s at the 64-speaker
+        # scale).  The final partial chunk is padded to the chunk shape so
+        # the featurizer compiles exactly once.
         # utter seeds: base_seed selects a DISJOINT namespace (1_000_003 is
         # prime and not ~= any reachable 7919*ds + dw), so pretrain (1),
         # enrollment (2) and held-out test (3) utterances can never be
         # bit-identical — with a plain additive base, test window w equaled
         # enrollment window w+1 exactly and "held-out" accuracy was
         # training accuracy.
-        voice = speaker_voice(speaker_seed)
-        wavs = np.stack([synth_utterance(
-            voice, N_WIN, 1_000_003 * base_seed + 7919 * speaker_seed + w)
-            for w in range(n_windows)])
-        return np.asarray(featurize(jnp.asarray(wavs)))
+        wavs = np.stack([
+            synth_utterance(speaker_voice(s), N_WIN,
+                            1_000_003 * base_seed + 7919 * s + w)
+            for s in speaker_seeds for w in range(n_windows)])
+        outs = []
+        for i in range(0, len(wavs), chunk):
+            part = wavs[i: i + chunk]
+            short = chunk - len(part)
+            if short:
+                part = np.concatenate([part, part[-1:].repeat(short, 0)])
+            outs.append(np.asarray(featurize(jnp.asarray(part)))
+                        [: chunk - short])
+        return np.concatenate(outs)
 
     # ---- base pretrain corpus --------------------------------------------
     ns, npw = args.speakers, args.windows
     print(f"[spk] featurizing {ns} speakers x {npw} windows ...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    x = np.concatenate([features_for(s, npw, base_seed=1) for s in range(ns)])
+    x = features_for_all(range(ns), npw, base_seed=1)
     y = np.zeros((ns * npw, ns), np.float32)
     for s in range(ns):
         y[s * npw:(s + 1) * npw, s] = 1.0
@@ -151,8 +162,7 @@ def main():
 
     # ---- registration: 4 NEW speakers through the acc>=0.80 gate ---------
     enroll_ids = [10_000 + e for e in range(args.enroll)]
-    xe = np.concatenate([features_for(s, args.enroll_windows, base_seed=2)
-                         for s in enroll_ids])
+    xe = features_for_all(enroll_ids, args.enroll_windows, base_seed=2)
     ye = np.zeros((len(xe), args.enroll), np.float32)
     for e in range(args.enroll):
         ye[e * args.enroll_windows:(e + 1) * args.enroll_windows, e] = 1.0
@@ -169,8 +179,7 @@ def main():
     # ---- identify accuracy on held-out windows of the enrolled 4 ---------
     from mmla_audio_tpu.inference import SpeakerPredictor
 
-    xt = np.concatenate([features_for(s, args.test_windows, base_seed=3)
-                         for s in enroll_ids])
+    xt = features_for_all(enroll_ids, args.test_windows, base_seed=3)
     yt = np.repeat(np.arange(args.enroll), args.test_windows)
     predictor = SpeakerPredictor(head_vars, mcfg, fcfg,
                                  head_units=args.enroll, sigmoid_head=True)

@@ -25,6 +25,24 @@ from pathlib import Path
 import numpy as np
 
 
+def _setup_compile_cache(args):
+    """Enable the persistent XLA compilation cache (default: on, under
+    ``<root>/.xla_cache``) before any program compiles.  On a tunneled TPU
+    cold compiles run 60-260 s; the cache makes process *restarts* — the
+    streaming runners' real lifecycle — skip them entirely.  Precedence:
+    ``--compile-cache DIR|off`` > ``MMLA_COMPILE_CACHE=DIR|off`` >
+    ``<root>/.xla_cache``."""
+    from mmla_audio_tpu.utils import compile_cache as cc
+
+    flag = getattr(args, "compile_cache", None)
+    if flag == "off":
+        return
+    path = (Path(flag) if flag
+            else cc.compile_cache_dir(getattr(args, "root", None)))
+    if path is not None:
+        cc.enable_compile_cache(path)
+
+
 def _matmul_precision(args):
     """--precision highest -> full-f32 GEMM accumulation (bit-stable labels
     across TPU/CPU backends, measured in benchmarks/tpu_cpu_parity.py)."""
@@ -389,9 +407,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="mmla_audio_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def cache_flag(p):
+        p.add_argument("--compile-cache", default=None, metavar="DIR|off",
+                       help="persistent XLA compilation cache; default on "
+                            "under <root>/.xla_cache when the command has "
+                            "a --root (restarted processes skip the 60-260 s"
+                            " TPU cold compiles); MMLA_COMPILE_CACHE env "
+                            "overrides")
+
     def common(p, live=False, vad=True):
         p.add_argument("--root", default="experiment")
         p.add_argument("--ckpt", default=None)
+        cache_flag(p)
         p.add_argument("--precision", choices=["default", "highest"],
                        default="default",
                        help="'highest' forces full-f32 GEMM accumulation: "
@@ -472,6 +499,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--augmented", action="store_true")
+    cache_flag(p)
     p.set_defaults(fn=cmd_overlap_train)
 
     p = sub.add_parser("speaker-pretrain")
@@ -480,6 +508,7 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    cache_flag(p)
     p.set_defaults(fn=cmd_speaker_pretrain)
 
     p = sub.add_parser("charts")
@@ -488,6 +517,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_charts)
 
     args = ap.parse_args(argv)
+    _setup_compile_cache(args)
     return args.fn(args)
 
 

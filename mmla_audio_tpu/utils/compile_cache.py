@@ -1,0 +1,63 @@
+"""Persistent XLA compilation cache for instant process restarts.
+
+The reference pays Keras model-build + TF graph time on every script start
+(`overlap_detector_run.py:21-40` loads and rebuilds per run); here the
+analogous cost is XLA compilation, and on a tunneled TPU it dominates cold
+start: ~60-90 s for a predictor program, ~260 s for the registration
+fine-tune (docs/performance.md).  JAX's persistent compilation cache stores
+the serialized compiled executable keyed by (HLO, flags, device kind), so a
+*restarted* process — the actual deployment story for the streaming runners,
+which are long-lived but do get restarted — skips straight past compilation.
+
+Design notes (TPU-first):
+- The cache must be configured BEFORE the first compilation, not before
+  backend init, so enabling it lazily from the CLI/session constructors is
+  safe.
+- ``min_compile_seconds`` defaults to 1.0 (JAX's own default): trivial CPU
+  programs are not worth disk round-trips, while every TPU program in this
+  repo compiles well above it.
+- Entries are keyed by device kind; one directory can safely serve CPU test
+  runs and TPU serving runs side by side.
+- Failures (read-only dir, unsupported backend serialization) are
+  non-fatal by JAX default (``jax_raise_persistent_cache_errors=False``) —
+  enabling the cache can never break serving, only skip the speedup.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+__all__ = ["enable_compile_cache", "compile_cache_dir"]
+
+_ENV_DIR = "MMLA_COMPILE_CACHE"
+
+
+def compile_cache_dir(root=None):
+    """Resolve the cache directory: ``$MMLA_COMPILE_CACHE`` wins, else
+    ``<experiment root>/.xla_cache`` when a root is given, else ``None``
+    (disabled)."""
+    env = os.environ.get(_ENV_DIR)
+    if env:
+        return None if env in ("0", "off", "none") else Path(env)
+    if root is not None:
+        return Path(root) / ".xla_cache"
+    return None
+
+
+def enable_compile_cache(path, *, min_compile_seconds: float = 1.0,
+                         min_entry_bytes: int = 0) -> Path:
+    """Point JAX's persistent compilation cache at ``path`` (created if
+    missing).  Idempotent; call any time before the program of interest
+    first compiles."""
+    import jax
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_seconds))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                      int(min_entry_bytes))
+    return path

@@ -1,0 +1,91 @@
+"""Persistent compilation cache: resolution policy + a real cross-process
+hit (the deployment story: a restarted streaming runner must skip the
+60-260 s TPU cold compile; jax keys entries by device kind, so the CPU
+proof here carries to the TPU path unchanged)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mmla_audio_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache({cache!r}, min_compile_seconds=0.0)
+
+hits = []
+import jax.monitoring
+jax.monitoring.register_event_listener(
+    lambda name, **kw: hits.append(name)
+    if name == "/jax/compilation_cache/cache_hits" else None)
+
+import jax.numpy as jnp
+out = jax.jit(lambda x: jnp.tanh(x @ x).sum())(jnp.ones((64, 64)))
+print("RESULT", float(out), "HITS", len(hits))
+"""
+
+
+def _run(cache, env_extra=None):
+    env = dict(os.environ)
+    env.pop("MMLA_COMPILE_CACHE", None)
+    env.update(env_extra or {})
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _CHILD.format(repo=str(REPO), cache=str(cache))],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][-1]
+    _, val, _, hits = line.split()
+    return float(val), int(hits)
+
+
+def test_cross_process_cache_hit(tmp_path):
+    cache = tmp_path / "xla_cache"
+    val1, hits1 = _run(cache)
+    assert cache.is_dir() and any(cache.iterdir()), "cache never populated"
+    val2, hits2 = _run(cache)
+    assert val2 == val1
+    assert hits2 >= 1, "second process recompiled instead of hitting cache"
+
+
+def test_cache_dir_resolution(tmp_path, monkeypatch):
+    from mmla_audio_tpu.utils.compile_cache import compile_cache_dir
+
+    monkeypatch.delenv("MMLA_COMPILE_CACHE", raising=False)
+    assert compile_cache_dir(None) is None
+    assert compile_cache_dir("exp") == Path("exp") / ".xla_cache"
+    monkeypatch.setenv("MMLA_COMPILE_CACHE", str(tmp_path / "env"))
+    assert compile_cache_dir("exp") == tmp_path / "env"
+    monkeypatch.setenv("MMLA_COMPILE_CACHE", "off")
+    assert compile_cache_dir("exp") is None
+
+
+def test_cli_flag_resolution(tmp_path, monkeypatch):
+    """--compile-cache off disables; a path overrides <root>/.xla_cache."""
+    import argparse
+
+    from mmla_audio_tpu import cli
+
+    monkeypatch.delenv("MMLA_COMPILE_CACHE", raising=False)
+    seen = []
+    monkeypatch.setattr(
+        "mmla_audio_tpu.utils.compile_cache.enable_compile_cache",
+        lambda p, **kw: seen.append(Path(p)))
+
+    args = argparse.Namespace(compile_cache="off", root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert seen == []
+
+    args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert seen == [tmp_path / ".xla_cache"]
+
+    args = argparse.Namespace(compile_cache=str(tmp_path / "explicit"),
+                              root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert seen[-1] == tmp_path / "explicit"

@@ -1,0 +1,108 @@
+"""Measure the persistent-compilation-cache restart win on the real backend.
+
+Two child processes, same program, same cache dir: the first populates the
+cache (cold compile), the second should hit it.  Reports time-to-first-result
+for both plus the backend's cache-hit counter — the honest check that the
+PJRT plugin actually supports executable serialization (if it does not, JAX
+silently falls back to compiling and the two times match; docs must then not
+claim a TPU restart win).
+
+Run:  python benchmarks/compile_cache_probe.py [--cpu] [--cache DIR]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+t_start = time.perf_counter()
+import jax
+if {cpu!r}:
+    jax.config.update("jax_platforms", "cpu")
+from mmla_audio_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache({cache!r}, min_compile_seconds=0.0)
+
+hits = []
+import jax.monitoring
+jax.monitoring.register_event_listener(
+    lambda name, **kw: hits.append(name)
+    if name == "/jax/compilation_cache/cache_hits" else None)
+
+import numpy as np
+import jax.numpy as jnp
+from mmla_audio_tpu.core.config import SpeakerFeatureConfig, SpeakerModelConfig
+from mmla_audio_tpu.inference import SpeakerPredictor
+from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+
+mcfg = SpeakerModelConfig()
+fcfg = SpeakerFeatureConfig()
+model = SpeakerResBLSTM(cfg=mcfg)
+variables = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 256, 39), jnp.float32), train=False)
+predictor = SpeakerPredictor(variables, mcfg, fcfg)
+
+wav = np.asarray(np.sin(np.arange(40960) * 0.03) * 8000, np.float32)
+t0 = time.perf_counter()
+label, probs = predictor.predict(wav, 40960)
+label = int(label)          # host fetch forces full sync through the tunnel
+t1 = time.perf_counter()
+print("PROBE", t1 - t0, t1 - t_start, label, len(hits), flush=True)
+"""
+
+
+def run_child(cache, cpu):
+    env = dict(os.environ)
+    env.pop("MMLA_COMPILE_CACHE", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _CHILD.format(repo=str(REPO), cache=str(cache), cpu=bool(cpu))],
+        capture_output=True, text=True, env=env, timeout=1200)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit(f"child failed rc={out.returncode}")
+    line = [l for l in out.stdout.splitlines() if l.startswith("PROBE")][-1]
+    _, t_first, t_total, label, hits = line.split()
+    return float(t_first), float(t_total), int(label), int(hits)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cache", default=None)
+    args = ap.parse_args()
+
+    cache = Path(args.cache) if args.cache else Path(
+        tempfile.mkdtemp(prefix="xla_cache_probe_"))
+
+    t0 = time.perf_counter()
+    cold_first, cold_total, lab1, hits1 = run_child(cache, args.cpu)
+    warm_first, warm_total, lab2, hits2 = run_child(cache, args.cpu)
+    wall = time.perf_counter() - t0
+
+    entries = sum(1 for _ in cache.rglob("*") if _.is_file())
+    result = {
+        "metric": "compile_cache_restart",
+        "backend": "cpu" if args.cpu else "default",
+        "cold_first_result_s": round(cold_first, 2),
+        "warm_first_result_s": round(warm_first, 2),
+        "speedup": round(cold_first / warm_first, 1) if warm_first else None,
+        "warm_cache_hits": hits2,
+        "cache_entries": entries,
+        "labels_equal": lab1 == lab2,
+        "serialization_supported": hits2 >= 1,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

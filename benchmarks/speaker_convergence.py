@@ -107,19 +107,26 @@ def main():
         # bit-identical — with a plain additive base, test window w equaled
         # enrollment window w+1 exactly and "held-out" accuracy was
         # training accuracy.
+        # int16 upload: the wavs are int16-scale PCM (the serving path's
+        # actual dtype); shipping them as int16 halves the H2D bytes, which
+        # matters at reference scale (630 x 12 windows = 1.2 GB as f32)
+        # on the ~1-6 MB/s tunnel.  Cast back to f32 on device.
         wavs = np.stack([
             synth_utterance(speaker_voice(s), N_WIN,
                             1_000_003 * base_seed + 7919 * s + w)
-            for s in speaker_seeds for w in range(n_windows)])
+            for s in speaker_seeds for w in range(n_windows)]).astype(np.int16)
         outs = []
         for i in range(0, len(wavs), chunk):
             part = wavs[i: i + chunk]
             short = chunk - len(part)
             if short:
                 part = np.concatenate([part, part[-1:].repeat(short, 0)])
-            outs.append(np.asarray(featurize(jnp.asarray(part)))
-                        [: chunk - short])
-        return np.concatenate(outs)
+            feats = featurize(jnp.asarray(part).astype(jnp.float32))
+            outs.append(feats[: chunk - short])
+        # stays DEVICE-resident: Trainer.fit pads/masks jax.Arrays on device;
+        # a host round-trip of the 630-speaker feature tensor (~300 MB) costs
+        # minutes of tunnel D2H for nothing.
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     # ---- base pretrain corpus --------------------------------------------
     ns, npw = args.speakers, args.windows
@@ -127,9 +134,10 @@ def main():
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     x = features_for_all(range(ns), npw, base_seed=1)
-    y = np.zeros((ns * npw, ns), np.float32)
-    for s in range(ns):
-        y[s * npw:(s + 1) * npw, s] = 1.0
+    # one-hot built on device from a (ns*npw,) int vector: the host-built
+    # 630-speaker one-hot is 19 MB of H2D for 30 kB of information
+    y = jax.nn.one_hot(jnp.repeat(jnp.arange(ns), npw), ns,
+                       dtype=jnp.float32)
     # stratified holdout: last 2 windows/speaker for validation
     val_mask = np.zeros(len(x), bool)
     for s in range(ns):

@@ -490,6 +490,7 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--n-mixtures", type=int, default=6300)
     p.add_argument("--seed", type=int, default=0)
+    cache_flag(p)
     p.set_defaults(fn=cmd_synth_corpus)
 
     p = sub.add_parser("overlap-train")
@@ -514,6 +515,7 @@ def main(argv=None):
     p = sub.add_parser("charts")
     p.add_argument("--root", default="experiment")
     p.add_argument("--kind", default="overlap", choices=["overlap", "speaker"])
+    cache_flag(p)
     p.set_defaults(fn=cmd_charts)
 
     args = ap.parse_args(argv)

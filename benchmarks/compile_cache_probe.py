@@ -78,26 +78,39 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cache", default=None)
+    ap.add_argument("--warm-only", action="store_true",
+                    help="reuse an already-populated --cache dir (skip the "
+                         "cold child) to re-measure the restart path alone")
     args = ap.parse_args()
 
     cache = Path(args.cache) if args.cache else Path(
         tempfile.mkdtemp(prefix="xla_cache_probe_"))
 
     t0 = time.perf_counter()
-    cold_first, cold_total, lab1, hits1 = run_child(cache, args.cpu)
+    if args.warm_only:
+        cold_first = cold_total = None
+        lab1 = None
+    else:
+        cold_first, cold_total, lab1, hits1 = run_child(cache, args.cpu)
     warm_first, warm_total, lab2, hits2 = run_child(cache, args.cpu)
     wall = time.perf_counter() - t0
 
     entries = sum(1 for _ in cache.rglob("*") if _.is_file())
+    biggest = max((f.stat().st_size for f in cache.rglob("*") if f.is_file()),
+                  default=0)
     result = {
         "metric": "compile_cache_restart",
         "backend": "cpu" if args.cpu else "default",
-        "cold_first_result_s": round(cold_first, 2),
+        "cold_first_result_s": cold_first and round(cold_first, 2),
+        "cold_process_total_s": cold_total and round(cold_total, 2),
         "warm_first_result_s": round(warm_first, 2),
-        "speedup": round(cold_first / warm_first, 1) if warm_first else None,
+        "warm_process_total_s": round(warm_total, 2),
+        "speedup": (round(cold_first / warm_first, 1)
+                    if cold_first and warm_first else None),
         "warm_cache_hits": hits2,
         "cache_entries": entries,
-        "labels_equal": lab1 == lab2,
+        "cache_biggest_entry_bytes": biggest,
+        "labels_equal": lab1 == lab2 if lab1 is not None else None,
         "serialization_supported": hits2 >= 1,
         "wall_s": round(wall, 1),
     }

@@ -26,19 +26,20 @@ import numpy as np
 
 
 def _setup_compile_cache(args):
-    """Enable the persistent XLA compilation cache (default: on, under
-    ``<root>/.xla_cache``) before any program compiles.  On a tunneled TPU
-    cold compiles run 60-260 s; the cache makes process *restarts* — the
-    streaming runners' real lifecycle — skip them entirely.  Precedence:
-    ``--compile-cache DIR|off`` > ``MMLA_COMPILE_CACHE=DIR|off`` >
-    ``<root>/.xla_cache``."""
+    """Enable the persistent XLA compilation cache (OPT-IN) before any
+    program compiles.  On a co-located TPU host restarts skip compilation
+    (CPU measured 4.3x time-to-first-result); but on the tunneled backend
+    used here, shipping executables back through PJRT DeserializeExecutable
+    measured 15-40x SLOWER than the compile helper's own server-side warm
+    cache (benchmarks/compile_cache_probe.py) — so it is never enabled
+    implicitly.  Precedence: ``--compile-cache DIR|off`` >
+    ``MMLA_COMPILE_CACHE=DIR|off`` > disabled."""
     from mmla_audio_tpu.utils import compile_cache as cc
 
     flag = getattr(args, "compile_cache", None)
     if flag == "off":
         return
-    path = (Path(flag) if flag
-            else cc.compile_cache_dir(getattr(args, "root", None)))
+    path = Path(flag) if flag else cc.compile_cache_dir(None)
     if path is not None:
         cc.enable_compile_cache(path)
 
@@ -409,11 +410,12 @@ def main(argv=None):
 
     def cache_flag(p):
         p.add_argument("--compile-cache", default=None, metavar="DIR|off",
-                       help="persistent XLA compilation cache; default on "
-                            "under <root>/.xla_cache when the command has "
-                            "a --root (restarted processes skip the 60-260 s"
-                            " TPU cold compiles); MMLA_COMPILE_CACHE env "
-                            "overrides")
+                       help="persistent XLA compilation cache directory "
+                            "(opt-in; worth it on co-located hosts where "
+                            "restarts then skip compilation — measured "
+                            "HARMFUL through a PJRT tunnel, see "
+                            "benchmarks/compile_cache_probe.py); "
+                            "MMLA_COMPILE_CACHE env also enables")
 
     def common(p, live=False, vad=True):
         p.add_argument("--root", default="experiment")

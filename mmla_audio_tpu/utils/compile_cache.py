@@ -21,6 +21,14 @@ Design notes (TPU-first):
 - Failures (read-only dir, unsupported backend serialization) are
   non-fatal by JAX default (``jax_raise_persistent_cache_errors=False``) —
   enabling the cache can never break serving, only skip the speedup.
+- **Opt-in, never implicit** (measured: benchmarks/compile_cache_probe.py).
+  On CPU a restarted process reaches its first result 4.3x faster (2.18 s
+  -> 0.51 s, 120 warm hits).  But through the tunneled axon PJRT backend
+  the warm restart measured 88-245 s vs 5.75 s WITHOUT the cache: the
+  plugin's ``DeserializeExecutable`` path is far slower than its compile
+  helper's own server-side warm cache, and the client cache bypasses the
+  latter.  Enable it on co-located hosts (local PJRT, local disk); leave
+  it off through a tunnel.
 """
 
 from __future__ import annotations

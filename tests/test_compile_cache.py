@@ -66,7 +66,9 @@ def test_cache_dir_resolution(tmp_path, monkeypatch):
 
 
 def test_cli_flag_resolution(tmp_path, monkeypatch):
-    """--compile-cache off disables; a path overrides <root>/.xla_cache."""
+    """Opt-in only: no flag/env => disabled (the tunneled-TPU default,
+    measured in benchmarks/compile_cache_probe.py); --compile-cache DIR or
+    MMLA_COMPILE_CACHE enables; 'off' always wins."""
     import argparse
 
     from mmla_audio_tpu import cli
@@ -77,15 +79,25 @@ def test_cli_flag_resolution(tmp_path, monkeypatch):
         "mmla_audio_tpu.utils.compile_cache.enable_compile_cache",
         lambda p, **kw: seen.append(Path(p)))
 
+    args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert seen == [], "cache must never be enabled implicitly"
+
     args = argparse.Namespace(compile_cache="off", root=str(tmp_path))
     cli._setup_compile_cache(args)
     assert seen == []
 
-    args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
-    cli._setup_compile_cache(args)
-    assert seen == [tmp_path / ".xla_cache"]
-
     args = argparse.Namespace(compile_cache=str(tmp_path / "explicit"),
                               root=str(tmp_path))
     cli._setup_compile_cache(args)
-    assert seen[-1] == tmp_path / "explicit"
+    assert seen == [tmp_path / "explicit"]
+
+    monkeypatch.setenv("MMLA_COMPILE_CACHE", str(tmp_path / "env"))
+    args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert seen[-1] == tmp_path / "env"
+
+    monkeypatch.setenv("MMLA_COMPILE_CACHE", "off")
+    args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
+    cli._setup_compile_cache(args)
+    assert len(seen) == 2

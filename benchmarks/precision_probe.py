@@ -122,7 +122,10 @@ def main():
             got[prec] = np.asarray(jax.jit(f, device=acc)(x_acc))
         for prec, g in got.items():
             fl = float(np.mean(g != ref))
-            mx = float(np.max(np.abs(g - ref)))
+            # widen before differencing: int16 - int16 wraps on overflow
+            # (32767 - (-32768) -> -1) and would underreport a large flip
+            mx = float(np.max(np.abs(g.astype(np.int32)
+                                     - ref.astype(np.int32))))
             flips[f"denoise_p{passes}_{prec}"] = {
                 "i16_flip_rate_vs_cpu": fl, "max_i16_delta": mx}
             print(f"[probe] denoise x{passes} {prec}: flip rate vs CPU "

@@ -114,7 +114,10 @@ def main():
         wavs = np.stack([
             synth_utterance(speaker_voice(s), N_WIN,
                             1_000_003 * base_seed + 7919 * s + w)
-            for s in speaker_seeds for w in range(n_windows)]).astype(np.int16)
+            for s in speaker_seeds for w in range(n_windows)])
+        # round like the serving path's PCM16 quantization (quantize_i16
+        # rounds; a bare astype truncates toward zero — ±1 LSB mismatch)
+        wavs = np.clip(np.rint(wavs), -32768, 32767).astype(np.int16)
         outs = []
         for i in range(0, len(wavs), chunk):
             part = wavs[i: i + chunk]

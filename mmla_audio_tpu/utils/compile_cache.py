@@ -54,14 +54,23 @@ def compile_cache_dir(root=None):
 
 
 def enable_compile_cache(path, *, min_compile_seconds: float = 1.0,
-                         min_entry_bytes: int = 0) -> Path:
+                         min_entry_bytes: int = 0) -> Path | None:
     """Point JAX's persistent compilation cache at ``path`` (created if
     missing).  Idempotent; call any time before the program of interest
-    first compiles."""
+    first compiles.  Failures are non-fatal: an uncreatable/unwritable
+    directory (read-only mount, bad MMLA_COMPILE_CACHE) warns and returns
+    ``None`` — enabling the cache can never break serving."""
+    import sys
+
     import jax
 
     path = Path(path)
-    path.mkdir(parents=True, exist_ok=True)
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError as e:
+        print(f"[WARN] compile cache disabled: cannot create {path}: {e}",
+              file=sys.stderr)
+        return None
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -101,3 +101,16 @@ def test_cli_flag_resolution(tmp_path, monkeypatch):
     args = argparse.Namespace(compile_cache=None, root=str(tmp_path))
     cli._setup_compile_cache(args)
     assert len(seen) == 2
+
+
+def test_enable_failure_is_nonfatal(tmp_path, capsys):
+    """A bad cache path (unwritable parent) must warn and return None, not
+    raise — enabling the cache can never break serving (the documented
+    contract; a bad MMLA_COMPILE_CACHE used to crash every CLI command)."""
+    from mmla_audio_tpu.utils.compile_cache import enable_compile_cache
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")          # a FILE where a parent dir must go
+    got = enable_compile_cache(blocker / "cache")
+    assert got is None
+    assert "compile cache disabled" in capsys.readouterr().err

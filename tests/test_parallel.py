@@ -116,3 +116,63 @@ def test_distributed_single_process_paths():
     out = jax.jit(lambda a: (a * 2).sum(axis=1))(xg)
     np.testing.assert_allclose(np.asarray(out), (x * 2).sum(axis=1),
                                rtol=1e-6)
+
+
+def test_distributed_initialize_env_autodiscovery(monkeypatch):
+    """The env-driven join/skip branch (`distributed.py:67-78`) that real
+    pods take: a MULTI-worker TPU_WORKER_HOSTNAMES list or any coordinator
+    env var joins the multi-process runtime; a lone hostname (the axon dev
+    environment sets "localhost") or a clean env skips it entirely."""
+    from mmla_audio_tpu.parallel import distributed as dist
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    for var in ("TPU_WORKER_HOSTNAMES", "COORDINATOR_ADDRESS",
+                "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+
+    def reset():
+        monkeypatch.setattr(dist, "_initialized", False)
+        calls.clear()
+
+    # clean env -> skip (single process)
+    reset()
+    dist.initialize()
+    assert not calls and not dist._initialized
+
+    # single-worker hostname list (dev environment) -> still skip
+    reset()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    dist.initialize()
+    assert not calls and not dist._initialized
+
+    # multi-worker hostname list -> env-driven join (no explicit args)
+    reset()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    dist.initialize()
+    assert calls == [((), {})] and dist._initialized
+    # idempotent: a second call must not re-join
+    dist.initialize()
+    assert len(calls) == 1
+
+    # a coordinator env var alone also joins
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        reset()
+        monkeypatch.setenv(var, "10.0.0.1:8476")
+        dist.initialize()
+        assert calls == [((), {})], var
+        monkeypatch.delenv(var)
+
+    # explicit args: all three forwarded; partial sets fail loudly
+    reset()
+    dist.initialize(coordinator_address="10.0.0.1:8476",
+                    num_processes=2, process_id=1)
+    assert calls == [((), {"coordinator_address": "10.0.0.1:8476",
+                           "num_processes": 2, "process_id": 1})]
+    reset()
+    with pytest.raises(ValueError, match="must be given together"):
+        dist.initialize(coordinator_address="10.0.0.1:8476")
+    assert not calls

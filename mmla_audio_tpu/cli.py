@@ -46,12 +46,15 @@ def _setup_compile_cache(args):
 
 def _matmul_precision(args):
     """--precision highest -> full-f32 GEMM accumulation (bit-stable labels
-    across TPU/CPU backends, measured in benchmarks/tpu_cpu_parity.py)."""
+    across TPU/CPU backends, measured in benchmarks/tpu_cpu_parity.py);
+    'default' -> each predictor's measured per-model default (overlap fast,
+    speaker highest — see inference.py); 'fast' -> force the single-bf16-
+    pass mode everywhere (the labels-only throughput knob)."""
     prec = getattr(args, "precision", "default")
-    return None if prec == "default" else prec
+    return {"default": "auto", "fast": None}.get(prec, prec)
 
 
-def _predictor_overlap(ckpt, cfg, matmul_precision=None):
+def _predictor_overlap(ckpt, cfg, matmul_precision="auto"):
     import jax
 
     from mmla_audio_tpu.inference import OverlapPredictor
@@ -68,7 +71,7 @@ def _predictor_overlap(ckpt, cfg, matmul_precision=None):
 
 
 def _predictor_speaker(ckpt, cfg, head_units=None, sigmoid=False,
-                       matmul_precision=None):
+                       matmul_precision="auto"):
     import jax
 
     from mmla_audio_tpu.inference import SpeakerPredictor
@@ -421,11 +424,15 @@ def main(argv=None):
         p.add_argument("--root", default="experiment")
         p.add_argument("--ckpt", default=None)
         cache_flag(p)
-        p.add_argument("--precision", choices=["default", "highest"],
+        p.add_argument("--precision", choices=["default", "highest", "fast"],
                        default="default",
-                       help="'highest' forces full-f32 GEMM accumulation: "
-                            "labels bit-stable across TPU/CPU (~2x overlap "
-                            "step cost, ~6%% speaker; see "
+                       help="GEMM accumulation in the model trunk. "
+                            "'default': per-model measured default (overlap "
+                            "fast — 1.000 cross-backend labels already; "
+                            "speaker highest — 0.984 -> 1.000 for ~10%%). "
+                            "'highest' forces full-f32 everywhere (~2.2x "
+                            "overlap); 'fast' forces the single-bf16-pass "
+                            "mode everywhere (see "
                             "benchmarks/tpu_cpu_parity.py)")
         if vad:
             # not on overlap-run: the reference's offline file runner has no

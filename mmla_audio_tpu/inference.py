@@ -89,7 +89,7 @@ class OverlapPredictor:
                  model_cfg: OverlapModelConfig = OverlapModelConfig(),
                  feat_cfg: OverlapFeatureConfig = OverlapFeatureConfig(),
                  compute_dtype=None, use_pallas: bool = False,
-                 matmul_precision: str | None = None,
+                 matmul_precision: str | None = "auto",
                  silent_threshold: int = 4000):
         """``compute_dtype=jnp.bfloat16`` runs the model forward in bf16
         (params cast at trace time; DSP stays f32 for feature parity) —
@@ -98,9 +98,15 @@ class OverlapPredictor:
         GEMM/conv accumulation in the model trunk (TPU's default is one bf16
         MXU pass) for bit-stable TPU<->CPU labels; see
         benchmarks/tpu_cpu_parity.py for the measured agreement/cost.
+        ``"auto"`` (the default) resolves to the fast mode HERE: the overlap
+        trunk is conv-heavy, "highest" costs 2.2x, and default-mode label
+        agreement already measures 1.000 — unlike SpeakerPredictor, whose
+        "auto" resolves to "highest" (~10 % there for 0.984 -> 1.000).
         ``silent_threshold``: post-VAD sample count below which the window
         is SILENT (`record_on_pc.py:142`); pass ``cfg.vad.silent_samples``
         to mirror a tuned session gate."""
+        if matmul_precision == "auto":
+            matmul_precision = None
         if use_pallas and (not feat_cfg.png_quantize or not feat_cfg.flip_mel_axis):
             # the fused kernel hardcodes the PNG quantize + row flip; a cfg
             # that disables them would silently diverge between the paths
@@ -176,7 +182,18 @@ class SpeakerPredictor:
                  head_units: int | None = None,
                  sigmoid_head: bool = False,
                  compute_dtype=None,
-                 matmul_precision: str | None = None):
+                 matmul_precision: str | None = "auto"):
+        """``matmul_precision``: ``"auto"`` (the default) resolves to
+        ``"highest"`` — full-f32 GEMM accumulation in the trunk.  Measured
+        basis (PARITY.md, benchmarks/tpu_cpu_parity.py): the speaker model
+        is recurrence-bound, so "highest" costs only ~10 % at b512 while
+        lifting TPU<->CPU label agreement from 0.984 to 1.000 — the
+        reference's own parity bar is argmax agreement (tfl_convert.py:
+        86-87), so the faithful setting is the default here.  (The overlap
+        predictor keeps the fast default: conv-heavy, 2.2x for the same
+        guarantee.)  Pass ``None`` for the fast single-bf16-pass mode."""
+        if matmul_precision == "auto":
+            matmul_precision = "highest"
         self.model = SpeakerResBLSTM(model_cfg, head_units=head_units)
         self.variables = variables
         self.feat_cfg = feat_cfg

@@ -15,6 +15,7 @@ from mmla_audio_tpu.analyze.logs import (
     parse_log,
 )
 from mmla_audio_tpu.data.wavio import read_wav, read_wav_float, write_wav
+from mmla_audio_tpu.core.config import OverlapModelConfig, SpeakerModelConfig
 from mmla_audio_tpu.inference import SILENT, OverlapPredictor, SpeakerPredictor
 from mmla_audio_tpu.models.overlap import OverlapResBLSTM
 from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
@@ -89,6 +90,32 @@ def test_matmul_precision_knob():
         ls, ps = strict.predict(buf, n)
         np.testing.assert_array_equal(np.asarray(ld), np.asarray(ls))
         np.testing.assert_array_equal(np.asarray(pd), np.asarray(ps))
+
+
+def test_matmul_precision_auto_defaults():
+    """'auto' resolves per model to the measured default (PARITY.md): the
+    overlap trunk stays fast (conv-heavy, 2.2x for a guarantee the default
+    already meets), the speaker trunk forces 'highest' (~10 % for
+    0.984 -> 1.000 cross-backend label agreement)."""
+    ov_vars = OverlapResBLSTM(
+        OverlapModelConfig(stage_filters=(4, 4, 4), lstm_units=8)
+    ).init_variables(jax.random.PRNGKey(0))
+    sp_vars = SpeakerResBLSTM(
+        SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                           num_speakers=4)
+    ).init_variables(jax.random.PRNGKey(1))
+    ov_cfg = OverlapModelConfig(stage_filters=(4, 4, 4), lstm_units=8)
+    sp_cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                                num_speakers=4)
+    assert OverlapPredictor(ov_vars, ov_cfg).matmul_precision is None
+    assert SpeakerPredictor(sp_vars, sp_cfg).matmul_precision == "highest"
+    # explicit None is the fast knob on both
+    assert SpeakerPredictor(sp_vars, sp_cfg,
+                            matmul_precision=None).matmul_precision is None
+    # explicit choice always wins
+    assert OverlapPredictor(
+        ov_vars, ov_cfg, matmul_precision="highest"
+    ).matmul_precision == "highest"
 
 
 def test_overlap_single_window_api():

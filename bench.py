@@ -119,10 +119,11 @@ def bench_overlap(window_sec, n_samples):
 def bench_vad_modes(n_samples):
     """Full serving pre-decision chain (denoise -> VAD -> trim) + model step
     at b512 for each per-frame VAD decision mode.  This is the measured cost
-    basis for the VadConfig.decision default (VERDICT r2 item 2): energy is
-    the fast default; webrtc is the bit-exact reference-faithful engine
-    (frame-serial int32 scans, amortized across the batch by vmap); gmm is
-    the float approximation."""
+    basis for the VadConfig.decision default: webrtc is the bit-exact
+    reference-faithful engine (frame-serial int32 scans, amortized across
+    the batch by vmap) and the serving default since round 4; energy is the
+    fast opt-out.  (The float GMM was demoted to a benchmark probe —
+    benchmarks/vad_latency.py still measures it.)"""
     import dataclasses
 
     import jax
@@ -134,7 +135,6 @@ def bench_vad_modes(n_samples):
     from mmla_audio_tpu.ops.denoise import noise_threshold
     from mmla_audio_tpu.ops.features import overlap_model_input
     from mmla_audio_tpu.streaming.session import preprocess_window
-    from mmla_audio_tpu.vad.gmm import gmm_init_from_noise
     from mmla_audio_tpu.vad.webrtc import webrtc_init
 
     variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
@@ -148,14 +148,10 @@ def bench_vad_modes(n_samples):
     vt = jnp.full((B,), 30.0, jnp.float32)
 
     results = {}
-    for mode in ("energy", "gmm", "webrtc"):
+    for mode in ("energy", "webrtc"):
         cfg = dataclasses.replace(PipelineConfig(),
                                   vad=VadConfig(decision=mode))
-        if mode == "gmm":
-            one = gmm_init_from_noise(noise)
-            gmm_states = jax.tree_util.tree_map(
-                lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
-        elif mode == "webrtc":
+        if mode == "webrtc":
             webrtc_states = webrtc_init((B,))
 
         def fwd(variables, b, n, _mode=mode, _cfg=cfg):
@@ -163,11 +159,6 @@ def bench_vad_modes(n_samples):
                 trimmed, n_out, _ = jax.vmap(
                     lambda r, nthr, vthr: preprocess_window(
                         r, nthr, vthr, _cfg))(b, nt, vt)
-            elif _mode == "gmm":
-                trimmed, n_out, _ = jax.vmap(
-                    lambda r, nthr, vthr, g: preprocess_window(
-                        r, nthr, vthr, _cfg, gmm_state=g))(
-                    b, nt, vt, gmm_states)
             else:
                 trimmed, n_out, _ = jax.vmap(
                     lambda r, nthr, vthr, w: preprocess_window(

@@ -48,8 +48,12 @@ def main():
     out = {"metric": "serve_latency_b1", "K": K,
            "device": str(jax.devices()[0])}
     for mode in ("energy", "gmm", "webrtc"):
-        cfg = dataclasses.replace(PipelineConfig(),
-                                  vad=VadConfig(decision=mode))
+        # gmm is a benchmark probe, not a VadConfig serving option:
+        # preprocess_window selects the decision by which state operand is
+        # passed, so the probe rides the energy cfg's frame geometry
+        cfg = dataclasses.replace(
+            PipelineConfig(),
+            vad=VadConfig(decision=mode if mode != "gmm" else "energy"))
         gmm_state = gmm_init_from_noise(noise) if mode == "gmm" else None
         web_state = webrtc_init() if mode == "webrtc" else None
 

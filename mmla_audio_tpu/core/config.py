@@ -124,21 +124,27 @@ class VadConfig:
     trigger_ratio: float = 0.9         # >90% voiced -> TRIGGERED
     aggressiveness: int = 3            # maps to threshold preset (Vad(0..3))
     silent_samples: int = 4_000        # post-VAD silence gate (0.25 s)
-    # Per-frame decision function: "energy" = calibrated log-RMS threshold
-    # (fast default), "webrtc" = bit-exact webrtcvad fixed-point engine
-    # (vad/webrtc.py — reference-faithful, state threads across windows),
-    # "gmm" = float WebRTC-architecture 6-band adaptive GMM (vad/gmm.py).
-    # Default measured in round 3 (docs/performance.md): webrtc costs +3.6%
-    # at b512 serving but 133 ms at B=1 (sequential scan depth), breaching
-    # the <50 ms p50 single-stream target — so energy stays default and
-    # webrtc is the reference-faithful opt-in.
+    # Per-frame decision function: "webrtc" = bit-exact webrtcvad
+    # fixed-point engine (vad/webrtc.py — reference-faithful: every gate in
+    # the reference flows through webrtcvad.Vad(3), record_on_pc.py:33; state
+    # threads across windows), "energy" = calibrated log-RMS threshold (the
+    # fast opt-out: agrees with the faithful decision 1.000 on clearly-voiced
+    # / clearly-silent windows but only 0.500 on 0-10 dB-SNR window labels —
+    # PARITY.md).  Measured cost of the faithful default (BENCH_r03 /
+    # docs/performance.md): +9 % batched serve at b512; B=1 sessions
+    # auto-route the detector to the native host engine (~14.5 ms window-to-
+    # decision, under the 50 ms p50 target) when it is available.  The float
+    # GMM approximation (vad/gmm.py) is a benchmark/reference probe, not a
+    # serving option.
     decision: str = "energy"
 
     def __post_init__(self):
-        if self.decision not in ("energy", "gmm", "webrtc"):
+        if self.decision not in ("energy", "webrtc"):
+            extra = " ('gmm' was demoted to a benchmark probe in round 4; " \
+                    "see vad/gmm.py)" if self.decision == "gmm" else ""
             raise ValueError(
-                f"VadConfig.decision must be 'energy', 'gmm' or 'webrtc': "
-                f"{self.decision!r}")
+                f"VadConfig.decision must be 'energy' or 'webrtc'"
+                f"{extra}: {self.decision!r}")
 
     @property
     def ring_frames(self) -> int:

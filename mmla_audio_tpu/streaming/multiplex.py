@@ -57,14 +57,13 @@ class Stream:
     def __init__(self, name: str, capture, log: SessionLog,
                  noise_thresh, vad_threshold_db: float,
                  label_names: Optional[Dict[str, str]] = None,
-                 gmm_state=None, index: int = 0):
+                 index: int = 0):
         self.name = name
         self.capture = capture
         self.log = log
         self.noise_thresh = noise_thresh
         self.vad_threshold_db = vad_threshold_db
         self.label_names = label_names
-        self.gmm_state = gmm_state          # per-stream GMM VAD model state
         self.index = index                  # row in the stacked webrtc state
         self.results: List[tuple] = []
         self.done = False
@@ -153,7 +152,6 @@ class Multiplexer:
     def _build_program(self):
         cfg = self.cfg
         use_speaker = self.kind == "speaker"
-        use_gmm = cfg.vad.decision == "gmm"
         use_webrtc = self._use_webrtc
 
         def head(variables, trimmed, n_out):
@@ -172,22 +170,14 @@ class Multiplexer:
             labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return jnp.where(silent, -1, labels)
 
-        def batch_fn(variables, raws, noise_threshs, vad_thrs,
-                     gmm_states=None):
+        def batch_fn(variables, raws, noise_threshs, vad_thrs):
             # same chain as the single-stream sessions (preprocess_window),
-            # vmapped; per-stream GMM states batch as operands (the sessions
-            # capture theirs as trace constants).  raws arrive int16 (half
-            # the H2D bytes); cast on device.
+            # vmapped.  raws arrive int16 (half the H2D bytes); cast on
+            # device.
             raws = raws.astype(jnp.float32)
-            if use_gmm:
-                trimmed, n_out, _ = jax.vmap(
-                    lambda r, nt, vt, gs: preprocess_window(
-                        r, nt, vt, cfg, gmm_state=gs))(
-                        raws, noise_threshs, vad_thrs, gmm_states)
-            else:
-                trimmed, n_out, _ = jax.vmap(
-                    lambda r, nt, vt: preprocess_window(r, nt, vt, cfg))(
-                        raws, noise_threshs, vad_thrs)
+            trimmed, n_out, _ = jax.vmap(
+                lambda r, nt, vt: preprocess_window(r, nt, vt, cfg))(
+                    raws, noise_threshs, vad_thrs)
             return head(variables, trimmed, n_out)
 
         def batch_fn_webrtc(variables, raws, noise_threshs, vad_thrs,
@@ -241,18 +231,13 @@ class Multiplexer:
         log = SessionLog(self.dirs.logs / f"{session_stamp(now)}-{name}.txt",
                          kind=self.kind, start_index=1)
         nf = noise_clip_i16.astype(np.float32) / 32768.0
-        gmm_state = None
-        if self.cfg.vad.decision == "gmm":
-            from mmla_audio_tpu.vad.gmm import gmm_init_from_noise
-
-            gmm_state = gmm_init_from_noise(noise_clip_i16)
         stream = Stream(
             name, capture, log,
             noise_thresh=np.asarray(noise_threshold(jnp.asarray(nf),
                                                     self.cfg.denoise)),
             vad_threshold_db=calibrate_threshold(
                 noise_clip_i16, self.cfg.vad.aggressiveness),
-            label_names=label_names, gmm_state=gmm_state,
+            label_names=label_names,
             index=len(self.streams))
         self.streams.append(stream)
         self._gather_dirty = True
@@ -415,15 +400,6 @@ class Multiplexer:
             labels, self._webrtc_states = self._program(
                 self.predictor.variables, raws, nts, vts,
                 self._webrtc_states, jnp.asarray(idx))
-        elif self.cfg.vad.decision == "gmm":
-            # batch per-stream GMM states; padded rows reuse the first
-            # stream's state (their labels are discarded by _resolve)
-            states = [s.gmm_state for s in ready]
-            states += [states[0]] * (bucket - k)
-            gmm_states = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *states)
-            labels = self._program(self.predictor.variables, raws, nts, vts,
-                                   gmm_states)
         else:
             labels = self._program(self.predictor.variables, raws, nts, vts)
         self._pending_streams = []

@@ -39,7 +39,6 @@ from mmla_audio_tpu.ops.features import overlap_model_input, speaker_feature
 from mmla_audio_tpu.utils.experiment import ExperimentDirs, bootstrap
 from mmla_audio_tpu.vad import calibrate_threshold, energy_vad, vad_trim
 from mmla_audio_tpu.vad.collector import frame_count
-from mmla_audio_tpu.vad.gmm import gmm_init_from_noise, gmm_vad
 from mmla_audio_tpu.vad.webrtc import webrtc_init, webrtc_vad_frames
 
 __all__ = ["session_stamp", "StreamingSession", "OverlapSession",
@@ -64,10 +63,13 @@ def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
     """THE per-window pre-decision chain, shared by the single-stream
     sessions and the Multiplexer's batched program so the two paths cannot
     diverge: denoise -> int16 re-quantization -> VAD decisions -> hysteresis
-    trim.  The per-frame decision is energy (default), the float GMM
-    (``gmm_state``), or the bit-exact webrtcvad engine (``webrtc_state`` —
-    a :class:`~mmla_audio_tpu.vad.webrtc.WebRtcVadState`, threaded across
-    windows like the reference's long-lived ``Vad`` instance).
+    trim.  The per-frame decision is the bit-exact webrtcvad engine
+    (``webrtc_state`` — a :class:`~mmla_audio_tpu.vad.webrtc.WebRtcVadState`,
+    threaded across windows like the reference's long-lived ``Vad``
+    instance) or the calibrated energy detector (neither state passed).
+    ``gmm_state`` selects the float GMM approximation — a benchmark probe
+    only (benchmarks/vad_latency.py, vad_agreement.py); no serving surface
+    passes it.
 
     Returns ``(trimmed int16-scale float buffer, valid count, new webrtc
     state or None)``; the trimmed buffer is zero beyond the count (vad_trim
@@ -89,6 +91,8 @@ def preprocess_window(raw_i16f: jnp.ndarray, noise_thresh: jnp.ndarray,
             mode=cfg.vad.aggressiveness, frame_len=frame_len,
             sample_rate=sr)
     elif gmm_state is not None:
+        from mmla_audio_tpu.vad.gmm import gmm_vad   # probe-only path
+
         decisions, _ = gmm_vad(i16, gmm_state,
                                aggressiveness=cfg.vad.aggressiveness,
                                frame_len=frame_len)
@@ -141,7 +145,6 @@ class StreamingSession:
             self.rec_dir.mkdir(parents=True, exist_ok=True)
         self.noise_thresh = None
         self.vad_threshold_db = 30.0
-        self.gmm_state = None
         # Bit-exact webrtcvad engine state, threaded across windows like the
         # reference's long-lived module-level Vad(3) instance
         # (record_on_pc.py:33); fused programs take it as an operand and
@@ -185,12 +188,6 @@ class StreamingSession:
             noise_i16, self.cfg.vad.aggressiveness)
         if self._hostpre is not None:
             self._hostpre.set_noise_threshold(self.noise_thresh)
-        if self.cfg.vad.decision == "gmm":
-            # WebRTC-architecture GMM initialised from the ambient profile;
-            # captured as a trace-time constant, so rebuild the fused
-            # programs to pick it up.
-            self.gmm_state = gmm_init_from_noise(noise_i16)
-            self._rebuild_fused()
 
     def _rebuild_fused(self):
         """(Re)create the jitted fused window program; subclasses override.
@@ -201,10 +198,8 @@ class StreamingSession:
                     vad_thr: jnp.ndarray, vad_state=None):
         """denoise -> quantize -> VAD trim.  Returns (trimmed int16-scale
         float buffer, valid count, new webrtc state or None)."""
-        cfg = self.cfg
-        gmm = self.gmm_state if cfg.vad.decision == "gmm" else None
-        return preprocess_window(raw_i16f, noise_thresh, vad_thr, cfg,
-                                 gmm_state=gmm, webrtc_state=vad_state)
+        return preprocess_window(raw_i16f, noise_thresh, vad_thr, self.cfg,
+                                 webrtc_state=vad_state)
 
     def _host_window(self, window_i16: np.ndarray):
         """Host half of the low-latency split (see ``streaming/hostpre.py``).

@@ -30,14 +30,20 @@ TPU-first details:
   information than WebRTC's fixed spectral priors; the speech mixtures start
   at calibrated-noise + typical-SNR offsets and adapt.
 
-**Fidelity note** (PARITY.md): this module is the *float approximation* of
+**Status: benchmark/reference probe, not a serving option** (round 4, like
+`ops/pallas_features.py`).  This module is the *float approximation* of
 webrtcvad — detector architecture and aggressiveness semantics, with the
 noise model initialised from the session's calibration clip instead of
-WebRTC's fixed priors.  For bit-exact webrtcvad frame decisions use
-``vad/webrtc.py`` (``VadConfig(decision="webrtc")``), the round-3 int32
-transcription of the published fixed-point algorithm, golden-pinned in
-``tests/test_vad_webrtc.py``.  `benchmarks/vad_agreement.py` quantifies the
-frame- and window-label agreement between the in-repo detectors across SNRs.
+WebRTC's fixed priors.  It was the round-2 stepping stone toward the
+bit-exact engine; once ``vad/webrtc.py`` (the int32 transcription of the
+published fixed-point algorithm, golden-pinned in
+``tests/test_vad_webrtc.py``) landed, gmm became strictly dominated — less
+faithful than webrtc (invented thresholds below), slower than energy
+(BENCH_r03: 86.1 vs 47.7 ms serve chain at b512) — so it was removed from
+``VadConfig.decision``.  It remains exercised by
+``benchmarks/vad_agreement.py`` / ``vad_latency.py`` (pass ``gmm_state``
+explicitly to ``preprocess_window``) and unit-tested as an algorithm
+reference.
 """
 
 from __future__ import annotations

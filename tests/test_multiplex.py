@@ -252,38 +252,6 @@ def test_min_fill_run_until_exhausted_decides_everything(tmp_path):
     assert all(len(s.results) == 2 for s in mux.streams)
 
 
-def test_multiplexer_gmm_vad_matches_single_session(tmp_path):
-    """VadConfig(decision='gmm') is honored by the batched program: labels
-    match the single-stream session's GMM path for the same audio/noise
-    (per-stream GMM states batch as operands)."""
-    import dataclasses
-
-    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
-
-    cfg = dataclasses.replace(PipelineConfig(), vad=VadConfig(decision="gmm"))
-    variables = OverlapResBLSTM().init_variables(jax.random.PRNGKey(0))
-    pred = OverlapPredictor(variables)
-    audio = np.concatenate([synth_speech_i16(40960, seed=17),
-                            np.zeros(40960, np.int16)])
-    noise = _noise(seed=5)
-
-    cap1 = CaptureThread(ArraySource(audio)).start()
-    sess = OverlapSession(pred, cap1, tmp_path / "exp_single", cfg=cfg)
-    sess.set_noise_profile(noise)
-    single = [r[1] for r in sess.run(max_windows=2)]
-    cap1.stop()
-
-    mux = Multiplexer(pred, tmp_path / "exp_mux", kind="overlap", bucket=2,
-                      cfg=cfg)
-    cap2 = CaptureThread(ArraySource(audio)).start()
-    stream = mux.add_stream("a", cap2, noise)
-    mux.run_until_exhausted()
-    cap2.stop()
-    assert stream.gmm_state is not None
-    muxed = [r[1] for r in stream.results]
-    assert muxed == single
-
-
 def test_multiplexer_webrtc_vad_matches_single_session(tmp_path):
     """VadConfig(decision='webrtc'): the batched program gathers/scatters
     per-stream detector rows from the stacked device state; labels AND the

@@ -112,28 +112,40 @@ def test_state_threading_adapts():
                                   np.asarray(st0.noise_mean))
 
 
-def test_overlap_session_gmm_decision(tmp_path):
-    """decision='gmm' drives the full fused session program."""
-    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
-    from mmla_audio_tpu.inference import OverlapPredictor
-    from mmla_audio_tpu.models.overlap import OverlapResBLSTM
-    from mmla_audio_tpu.streaming.capture import ArraySource, CaptureThread
-    from mmla_audio_tpu.streaming.session import OverlapSession
+def test_gmm_demoted_from_serving_config():
+    """Round 4: gmm is a benchmark probe, not a VadConfig serving option —
+    strictly dominated by the bit-exact webrtc engine (fidelity) and the
+    energy detector (speed); see vad/gmm.py docstring."""
+    import pytest
 
-    cfg = PipelineConfig(vad=VadConfig(decision="gmm"))
-    model = OverlapResBLSTM()
-    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    from mmla_audio_tpu.core.config import VadConfig
+
+    with pytest.raises(ValueError, match="demoted to a benchmark probe"):
+        VadConfig(decision="gmm")
+
+
+def test_preprocess_window_gmm_probe():
+    """The probe path the benchmarks use: an explicit ``gmm_state`` operand
+    drives preprocess_window's full denoise->GMM-VAD->trim chain (the
+    serving surfaces never pass one)."""
+    from mmla_audio_tpu.core.config import PipelineConfig
+    from mmla_audio_tpu.ops.denoise import noise_threshold
+    from mmla_audio_tpu.streaming.session import preprocess_window
+
+    cfg = PipelineConfig()
     rng = np.random.RandomState(0)
-    src = ArraySource(np.concatenate([
-        synth_speech_i16(40960, seed=2),
-        (rng.randn(40960) * 25).astype(np.int16)]))
-    cap = CaptureThread(src).start()
-    sess = OverlapSession(pred, cap, tmp_path / "experiment", cfg=cfg)
-    sess.set_noise_profile((rng.randn(160000) * 25).astype(np.int16))
-    results = sess.run(max_windows=2)
-    cap.stop()
-    assert [r[1] for r in results][1] == "silent"
-    assert results[0][1] in ("non-overlapped", "overlapped")
+    noise = (rng.randn(160000) * 25).astype(np.int16)
+    nt = noise_threshold(jnp.asarray(noise.astype(np.float32) / 32768.0),
+                         cfg.denoise)
+    st = gmm_init_from_noise(noise)
+    speech = synth_speech_i16(40960, seed=2).astype(np.float32)
+    quiet = (rng.randn(40960) * 25).astype(np.float32)
+    fn = jax.jit(lambda r, g: preprocess_window(
+        r, nt, jnp.asarray(30.0, jnp.float32), cfg, gmm_state=g))
+    _, n_speech, _ = fn(jnp.asarray(speech), st)
+    _, n_quiet, _ = fn(jnp.asarray(quiet), st)
+    assert int(n_speech) >= cfg.vad.silent_samples
+    assert int(n_quiet) < cfg.vad.silent_samples
 
 
 def test_agreement_bounds():

@@ -336,17 +336,24 @@ def bench_live(window_sec, n_streams: int = 64, reps: int = 2):
                     and time.time() < deadline:
                 time.sleep(0.005)
             mux.flush()                        # compile + warm done
+            mux.reset_phase_counters()
             t0 = time.perf_counter()
             n_decided = mux.run_until_exhausted()
             dt = time.perf_counter() - t0
+            # host-side-only cost per window (gather + stage + log appends;
+            # H2D dispatch and the blocking label fetch excluded): the
+            # co-located-deployment claim in docs/performance.md is restated
+            # from THIS field every run (VERDICT r3 item 3)
+            host_side = mux.host_side_seconds() / max(mux.windows_resolved, 1)
             for c in caps:
                 c.stop()
         rtf = n_decided * window_sec / dt
         per_win = dt / max(n_decided, 1)
         _log(f"live {n_streams}-stream rep {rep}: {n_decided} windows, "
-             f"{per_win * 1e3:.2f} ms/window, {rtf:.0f}x RT")
+             f"{per_win * 1e3:.2f} ms/window ({host_side * 1e3:.3f} ms "
+             f"host-side), {rtf:.0f}x RT")
         if best is None or rtf > best[0]:
-            best = (rtf, per_win)
+            best = (rtf, per_win, host_side)
     return best
 
 
@@ -402,12 +409,18 @@ def main():
         steps = bench_vad_modes(n_samples)
         for mode, step in steps.items():
             out[f"serve_step_ms_vad_{mode}"] = round(step * 1000.0, 3)
+        # the headline serve chain IS the default (webrtc) decision path
+        if "webrtc" in steps:
+            out["serve_step_ms"] = round(steps["webrtc"] * 1000.0, 3)
+            out["serve_rtf"] = round(B * window_sec / steps["webrtc"], 1)
 
     def _live(n_streams, reps=1):
-        rtf_n, per_win = bench_live(window_sec, n_streams=n_streams,
-                                    reps=reps)
+        rtf_n, per_win, host_side = bench_live(window_sec,
+                                               n_streams=n_streams,
+                                               reps=reps)
         out[f"live_rtf_{n_streams}_streams"] = round(rtf_n, 1)
         out[f"live_{n_streams}_per_window_ms"] = round(per_win * 1000.0, 2)
+        out[f"live_{n_streams}_host_side_ms"] = round(host_side * 1000.0, 3)
 
     def _b1_host():
         host_ms, dev_ms = bench_b1_host_split(n_samples)
@@ -415,10 +428,32 @@ def main():
         out["b1_device_step_ms"] = round(dev_ms, 2)
         out["b1_webrtc_host_ms"] = round(host_ms + dev_ms, 2)
 
+    def _convergence_artifacts():
+        # Reference-scale convergence proofs are ~10-min runs, too heavy to
+        # repeat every bench: benchmarks/overlap_convergence.py --out writes
+        # a checked-in artifact, and the fields below restate it (suffix
+        # _recorded marks them as replayed-from-artifact, not re-measured).
+        import pathlib
+
+        p = pathlib.Path(__file__).parent / "benchmarks" / "results" / \
+            "overlap_convergence.json"
+        if not p.exists():
+            return
+        rec = json.loads(p.read_text())
+        for tag, key in (("balanced", "overlap_convergence"),
+                         ("augmented_imbalanced", "overlap_convergence_aug")):
+            ph = rec.get(tag)
+            if not ph:
+                continue
+            out[f"{key}_heldout_acc_recorded"] = ph["heldout_accuracy"]
+            out[f"{key}_train_wall_s_recorded"] = ph["train_wall_s"]
+            out[f"{key}_n_windows_recorded"] = ph["n_windows"]
+
     for name, fn in (
         ("speaker", lambda: bench_speaker(window_sec, n_samples)),
         ("vad_modes", _vad),
         ("b1_host_split", _b1_host),
+        ("convergence_artifacts", _convergence_artifacts),
         ("registration", bench_registration),
         # every live axis is best-of-2: host/tunnel scheduling jitter swings
         # a single ≥512-stream rep 2-3x (measured 1.80-5.22 ms/window at

@@ -55,32 +55,15 @@ def main():
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
     noise = (np.random.RandomState(1).randn(160000) * 20).astype(np.int16)
 
-    phases = {"gather": 0.0, "stage_dispatch": 0.0, "resolve": 0.0,
-              "ticks": 0, "windows": 0}
+    phases = {"ticks": 0, "windows": 0}
 
-    class ProfMux(Multiplexer):
-        def _gather(self, limit=None):
-            t0 = time.perf_counter()
-            out = super()._gather(limit)
-            phases["gather"] += time.perf_counter() - t0
-            return out
-
-        def _dispatch_staged(self):
-            t0 = time.perf_counter()
-            out = super()._dispatch_staged()
-            phases["stage_dispatch"] += time.perf_counter() - t0
-            return out
-
-        def _resolve(self, inflight):
-            t0 = time.perf_counter()
-            out = super()._resolve(inflight)
-            phases["resolve"] += time.perf_counter() - t0
-            return out
-
+    # phase accounting is first-class on the Multiplexer since round 4
+    # (mux.phase_seconds: gather/stage/dispatch/resolve_fetch/resolve_log);
+    # this profile just drives a loop and reads the counters
     n_win = cfg.audio.window_samples
     with tempfile.TemporaryDirectory() as root:
-        mux = ProfMux(pred, root, kind="overlap", bucket=args.streams,
-                      min_fill=args.min_fill, cfg=cfg)
+        mux = Multiplexer(pred, root, kind="overlap", bucket=args.streams,
+                          min_fill=args.min_fill, cfg=cfg)
         caps = []
         from mmla_audio_tpu.streaming.capture import PrefilledCapture
 
@@ -99,8 +82,7 @@ def main():
             warmed += mux.tick()
             if warmed == 0:
                 time.sleep(0.005)
-        for k in phases:
-            phases[k] = 0.0 if isinstance(phases[k], float) else 0
+        mux.reset_phase_counters()
         t0 = time.perf_counter()
         n = 0
         while n < args.windows * args.streams - 2 * args.streams:
@@ -117,6 +99,7 @@ def main():
         c.stop()
 
     per_win = dt / max(n, 1) * 1e3
+    ps = mux.phase_seconds
     out = {
         "metric": "mux_profile",
         "streams": args.streams,
@@ -124,11 +107,10 @@ def main():
         "ticks": phases["ticks"],
         "total_s": round(dt, 3),
         "per_window_ms": round(per_win, 3),
-        "gather_ms_per_window": round(phases["gather"] / max(n, 1) * 1e3, 3),
-        "stage_dispatch_ms_per_window":
-            round(phases["stage_dispatch"] / max(n, 1) * 1e3, 3),
-        "resolve_ms_per_window":
-            round(phases["resolve"] / max(n, 1) * 1e3, 3),
+        **{f"{k}_ms_per_window": round(v / max(n, 1) * 1e3, 4)
+           for k, v in ps.items()},
+        "host_side_ms_per_window":
+            round(mux.host_side_seconds() / max(n, 1) * 1e3, 4),
         "sustained_rt_streams": round(2.56 / (per_win / 1e3), 0),
     }
     print(json.dumps(out))

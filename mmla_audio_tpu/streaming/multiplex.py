@@ -34,6 +34,7 @@ Throughput mechanics (sized for hundreds of concurrent streams per host):
 
 from __future__ import annotations
 
+import time
 from datetime import datetime
 from typing import Dict, List, Optional, Sequence
 
@@ -142,7 +143,33 @@ class Multiplexer:
         self._pending_ticks = 0
         self._batch_gather = None               # native gather (lazy)
         self._gather_dirty = True
+        # First-class phase accounting (VERDICT r3 item 3): the co-located
+        # serving claim ("host-side cost per window") must be a measured
+        # artifact every bench run, not a prose derivation.  Split per tick:
+        #   gather        ring polls + window pops into the staging rows
+        #   stage         padding/zeroing + per-row calibration staging
+        #   dispatch      jnp.asarray (H2D entry) + async program launch
+        #   resolve_fetch blocking device fetch of the previous labels
+        #   resolve_log   per-stream TSV log appends
+        # Host-side-only cost = gather + stage + resolve_log (what a
+        # co-located deployment pays on the host per window; dispatch/fetch
+        # ride the interconnect).  Two perf_counter calls per phase per
+        # tick — noise next to ms-scale ticks.
+        self.phase_seconds = {"gather": 0.0, "stage": 0.0, "dispatch": 0.0,
+                              "resolve_fetch": 0.0, "resolve_log": 0.0}
+        self.windows_resolved = 0
         self._build_program()
+
+    def reset_phase_counters(self) -> None:
+        for k in self.phase_seconds:
+            self.phase_seconds[k] = 0.0
+        self.windows_resolved = 0
+
+    def host_side_seconds(self) -> float:
+        """Host-only time accumulated since the last reset: gather + stage +
+        log appends (dispatch H2D and the blocking label fetch excluded)."""
+        p = self.phase_seconds
+        return p["gather"] + p["stage"] + p["resolve_log"]
 
     @property
     def _pending(self) -> List[Stream]:
@@ -322,6 +349,7 @@ class Multiplexer:
         offset; gathered windows are written straight into rows
         ``[len(pending):]`` of the current fill buffer (native path: one
         ``rb_pop_batch`` call).  Returns the streams appended."""
+        t0 = time.perf_counter()
         self._ensure_gather()
         n_win = self.cfg.audio.window_samples
         n = len(self.streams)
@@ -373,12 +401,14 @@ class Multiplexer:
             if not gathered:
                 self._sweep_done()
         self._rr = (self._rr + 1) % n
+        self.phase_seconds["gather"] += time.perf_counter() - t0
         return gathered
 
     def _dispatch_staged(self):
         """Launch the staged pending rows as one device batch (async):
         zero-copy row-slice of the fill buffer into the smallest sufficient
         bucket, then flip buffers.  Returns (ready streams, device labels)."""
+        t0 = time.perf_counter()
         ready = self._pending_streams
         k = len(ready)
         bucket = next((b for b in self.buckets if b >= k), self.bucket)
@@ -387,9 +417,7 @@ class Multiplexer:
         self._vts[self._flip][k: bucket] = 0.0
         if self._nts is not None:
             self._nts[self._flip][k: bucket] = 0.0
-        raws = jnp.asarray(buf[:bucket])
-        nts = jnp.asarray(self._nts[self._flip][:bucket])
-        vts = jnp.asarray(self._vts[self._flip][:bucket])
+        idx = None
         if self._use_webrtc:
             self._ensure_webrtc_states()
             # padded rows index one past the last stream: the state gather
@@ -397,11 +425,18 @@ class Multiplexer:
             idx = np.full((bucket,), self._webrtc_n, np.int32)
             for i, stream in enumerate(ready):
                 idx[i] = stream.index
+        t1 = time.perf_counter()
+        self.phase_seconds["stage"] += t1 - t0
+        raws = jnp.asarray(buf[:bucket])
+        nts = jnp.asarray(self._nts[self._flip][:bucket])
+        vts = jnp.asarray(self._vts[self._flip][:bucket])
+        if self._use_webrtc:
             labels, self._webrtc_states = self._program(
                 self.predictor.variables, raws, nts, vts,
                 self._webrtc_states, jnp.asarray(idx))
         else:
             labels = self._program(self.predictor.variables, raws, nts, vts)
+        self.phase_seconds["dispatch"] += time.perf_counter() - t1
         self._pending_streams = []
         self._pending_ticks = 0
         self._flip ^= 1
@@ -410,12 +445,17 @@ class Multiplexer:
     def _resolve(self, inflight) -> int:
         """Fetch a dispatched batch's labels and write the per-stream logs."""
         ready, labels = inflight
+        t0 = time.perf_counter()
         labels = np.asarray(labels)         # the one blocking device fetch
+        t1 = time.perf_counter()
+        self.phase_seconds["resolve_fetch"] += t1 - t0
         ts = datetime.today()
         for i, stream in enumerate(ready):
             name = self._label_name(stream, int(labels[i]))
             idx = stream.log.append(name, ts)
             stream.results.append((idx, name, ts))
+        self.phase_seconds["resolve_log"] += time.perf_counter() - t1
+        self.windows_resolved += len(ready)
         return len(ready)
 
     def _effective_min_fill(self) -> float:

@@ -35,6 +35,24 @@ def _make_mux(tmp_path, n_streams=3, windows_each=2, mesh=None, bucket=4):
     return mux, caps
 
 
+def test_phase_counters_account_host_side_cost(tmp_path):
+    """First-class phase accounting (bench's live_*_host_side_ms source):
+    every resolved window accrues gather/stage/dispatch/fetch/log time, and
+    host_side_seconds() = gather + stage + resolve_log exactly."""
+    mux, caps = _make_mux(tmp_path, n_streams=3, windows_each=2)
+    total = mux.run_until_exhausted()
+    for c in caps:
+        c.stop()
+    assert total == 6 and mux.windows_resolved == 6
+    p = mux.phase_seconds
+    assert all(v > 0.0 for v in p.values()), p
+    assert mux.host_side_seconds() == \
+        p["gather"] + p["stage"] + p["resolve_log"]
+    mux.reset_phase_counters()
+    assert mux.windows_resolved == 0
+    assert all(v == 0.0 for v in mux.phase_seconds.values())
+
+
 def test_multiplexer_overlap_streams(tmp_path):
     mux, caps = _make_mux(tmp_path, n_streams=3, windows_each=2)
     total = mux.run_until_exhausted()
@@ -148,16 +166,15 @@ def test_bucket_ladder_and_nonblocking(tmp_path):
     mux.add_stream("starved", starved_cap, noise)
 
     time.sleep(0.3)          # let rings fill
-    t0 = time.monotonic()
     mux.tick()
-    gather_time = time.monotonic() - t0
     n = mux.flush()
     assert n == 3
     # 3 ready -> padded to bucket 4 (smallest sufficient)
     assert dispatched[0] == (3, 4)
-    # the starved stream cost a poll, not a timeout: the whole tick incl.
-    # compile dispatch must not include any multi-second blocking wait
-    assert gather_time < 30.0   # compile dominates; no 2 s/stream timeouts
+    # the starved stream cost a poll, not a timeout: the GATHER phase (the
+    # first-class counter — dispatch/compile excluded) must show no
+    # 2 s/stream blocking waits
+    assert mux.phase_seconds["gather"] < 2.0
 
     # second round: a fresh stream is the only one with data -> bucket 2
     cap_new = CaptureThread(ArraySource(
@@ -273,8 +290,11 @@ def test_multiplexer_webrtc_vad_matches_single_session(tmp_path):
     states = []
     for s in range(2):
         cap = CaptureThread(ArraySource(audios[s])).start()
+        # the DEVICE fused path is the subject (its threaded vad_state is
+        # compared against the stacked mux rows below) — pin it so the
+        # "auto" routing doesn't take the native host split
         sess = OverlapSession(pred, cap, tmp_path / f"exp_single{s}",
-                              cfg=cfg)
+                              cfg=cfg, host_preprocess=False)
         sess.set_noise_profile(noises[s])
         singles.append([r[1] for r in sess.run(max_windows=3)])
         states.append(sess.vad_state)

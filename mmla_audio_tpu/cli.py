@@ -124,6 +124,14 @@ def _live_cfg(args):
     return cfg
 
 
+def _host_preprocess(args):
+    """tri-state --host-preprocess: flag True, --no-host-preprocess False,
+    absent -> the session's "auto" routing (native host engine exactly when
+    the decision is webrtc and the engine is available)."""
+    v = getattr(args, "host_preprocess", None)
+    return "auto" if v is None else v
+
+
 def cmd_overlap_live(args):
     from mmla_audio_tpu.streaming.edge import EdgeOverlapSession
     from mmla_audio_tpu.streaming.session import OverlapSession
@@ -143,8 +151,7 @@ def cmd_overlap_live(args):
     else:
         sess = OverlapSession(pred, cap, args.root, cfg=cfg,
                               save_recordings=args.save_recordings,
-                              host_preprocess=getattr(
-                                  args, "host_preprocess", False))
+                              host_preprocess=_host_preprocess(args))
     cal_s = args.calibrate_seconds or cfg.audio.noise_profile_seconds
     print(f"[INFO] calibrating ambient noise ({cal_s:.0f}s)...")
     sess.calibrate(args.calibrate_seconds)
@@ -179,8 +186,7 @@ def cmd_speaker_live(args):
     else:
         sess = SpeakerSession(pred, cap, args.root, cfg=cfg,
                               save_recordings=args.save_recordings,
-                              host_preprocess=getattr(
-                                  args, "host_preprocess", False))
+                              host_preprocess=_host_preprocess(args))
     print("[INFO] calibrating ambient noise...")
     sess.calibrate(args.calibrate_seconds)
 
@@ -439,11 +445,12 @@ def main(argv=None):
             # VAD (overlap_detector_run.py; silent gate is raw length only)
             p.add_argument("--vad", choices=["energy", "webrtc"],
                            default=None,
-                           help="per-frame VAD decision: bit-exact webrtcvad "
-                                "(reference-faithful; host-native engine on "
-                                "B=1/post-time paths) or calibrated energy "
-                                "(fast — agrees 0.500 on 0-10 dB-SNR window "
-                                "labels, PARITY.md)")
+                           help="per-frame VAD decision.  Default: webrtc — "
+                                "the bit-exact reference-faithful engine "
+                                "(B=1 sessions auto-route it to the native "
+                                "host engine when available).  'energy' is "
+                                "the fast opt-out (agrees only 0.500 on "
+                                "0-10 dB-SNR window labels, PARITY.md)")
         if live:
             p.add_argument("--fake", action="store_true",
                            help="deterministic PCM source instead of microphone")
@@ -452,11 +459,18 @@ def main(argv=None):
             p.add_argument("--windows", type=int, default=None)
             p.add_argument("--calibrate-seconds", type=float, default=None)
             p.add_argument("--save-recordings", action="store_true")
-            p.add_argument("--host-preprocess", action="store_true",
-                           help="with --vad webrtc: run denoise + VAD on the "
-                                "host (native C++ engine) and ship only the "
-                                "trimmed window to the device — the "
-                                "single-stream low-latency arrangement")
+            p.add_argument("--host-preprocess", dest="host_preprocess",
+                           action="store_true", default=None,
+                           help="force the host split: denoise + webrtc VAD "
+                                "on the host (native C++ engine), only the "
+                                "trimmed window to the device.  Default "
+                                "auto: taken exactly when the decision is "
+                                "webrtc and the native engine is available "
+                                "(the single-stream low-latency "
+                                "arrangement); --no-host-preprocess forces "
+                                "the fully on-device program")
+            p.add_argument("--no-host-preprocess", dest="host_preprocess",
+                           action="store_false", help=argparse.SUPPRESS)
 
     p = sub.add_parser("setup")
     p.add_argument("--root", default="experiment")

@@ -133,10 +133,11 @@ class VadConfig:
     # PARITY.md).  Measured cost of the faithful default (BENCH_r03 /
     # docs/performance.md): +9 % batched serve at b512; B=1 sessions
     # auto-route the detector to the native host engine (~14.5 ms window-to-
-    # decision, under the 50 ms p50 target) when it is available.  The float
-    # GMM approximation (vad/gmm.py) is a benchmark/reference probe, not a
+    # decision, under the 50 ms p50 target) when it is available
+    # (StreamingSession host_preprocess="auto").  The float GMM
+    # approximation (vad/gmm.py) is a benchmark/reference probe, not a
     # serving option.
-    decision: str = "energy"
+    decision: str = "webrtc"
 
     def __post_init__(self):
         if self.decision not in ("energy", "webrtc"):

@@ -69,12 +69,13 @@ class EdgeOverlapSession(StreamingSession):
     def __init__(self, predictor, capture, dirs, gate: Optional[GateSource] = None,
                  ssim_threshold: float = 0.3,
                  cfg: PipelineConfig = PipelineConfig(), **kw):
-        if kw.get("host_preprocess"):
+        if kw.get("host_preprocess") is True:
             # the edge pipelines (x4 denoise + SSIM gate / AOT identify
             # loop) have their own fused programs; the host split is a
             # single-stream PC-session arrangement
             raise ValueError("host_preprocess is not supported on edge "
                              "sessions")
+        kw["host_preprocess"] = False   # "auto" resolves on-device here
         super().__init__(capture, dirs, cfg=cfg,
                          gate=gate or GateSource(pressed=True), **kw)
         self.predictor = predictor
@@ -144,9 +145,10 @@ class EdgeSpeakerSession(SpeakerSession):
     def __init__(self, predictor, capture, dirs,
                  gate: Optional[GateSource] = None,
                  cfg: PipelineConfig = PipelineConfig(), **kw):
-        if kw.get("host_preprocess"):
+        if kw.get("host_preprocess") is True:
             raise ValueError("host_preprocess is not supported on edge "
                              "sessions")
+        kw["host_preprocess"] = False   # "auto" resolves on-device here
         super().__init__(predictor, capture, dirs, cfg=cfg,
                          gate=gate or GateSource(pressed=True), **kw)
         # swap in the timestamp-free Pi log schema at the same path

@@ -116,7 +116,7 @@ class StreamingSession:
                  now: Optional[datetime] = None,
                  telemetry=None,
                  gate=None,
-                 host_preprocess: bool = False):
+                 host_preprocess: bool | str = "auto"):
         # telemetry: analyze.telemetry.TelemetryClient — the reference's
         # (commented-out) Adafruit-IO POST per prediction; no-op when unset.
         # gate: streaming.edge.GateSource — the Pi runners' button-gated
@@ -129,10 +129,21 @@ class StreamingSession:
         # webrtc filterbank is sample-serial and dependency-chain-bound on
         # the TPU scalar path (~99 ms/window at B=1, sub-ms on host —
         # benchmarks/webrtc_profile.py), while batched serving amortizes it
-        # across streams and stays fully on-device.  Requires
-        # cfg.vad.decision == "webrtc" and the native library.
+        # across streams and stays fully on-device.  True requires
+        # cfg.vad.decision == "webrtc" and the native library; "auto" (the
+        # default) takes the split exactly when both hold — a B=1 session
+        # with the faithful default decision lands on the ~14.5 ms
+        # window-to-decision arrangement (BENCH b1_webrtc_host_ms) instead
+        # of the ~133 ms pure-device scan, and degrades to the on-device
+        # engine (bit-identical decisions, still real-time against the
+        # 2.56 s window period) where the native engine can't build.
         self.telemetry = telemetry
         self.gate = gate
+        if host_preprocess == "auto":
+            from mmla_audio_tpu.vad.native import native_available
+
+            host_preprocess = (cfg.vad.decision == "webrtc"
+                               and native_available())
         self.capture = capture
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
         self.cfg = cfg

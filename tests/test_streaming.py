@@ -400,9 +400,44 @@ def test_host_preprocess_requires_webrtc(tmp_path):
     from mmla_audio_tpu.vad.native import native_available
     if not native_available():
         pytest.skip("native webrtcvad unavailable")
+
+    import dataclasses
+    cfg = dataclasses.replace(PipelineConfig(),
+                              vad=dataclasses.replace(PipelineConfig().vad,
+                                                      decision="energy"))
     model = OverlapResBLSTM()
     pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
     cap = CaptureThread(ArraySource(np.zeros(40960, np.int16))).start()
     with pytest.raises(ValueError, match="webrtc"):
-        OverlapSession(pred, cap, tmp_path / "exp", host_preprocess=True)
+        OverlapSession(pred, cap, tmp_path / "exp", cfg=cfg,
+                       host_preprocess=True)
     cap.stop()
+
+
+def test_host_preprocess_auto_routing(tmp_path):
+    """host_preprocess='auto' (the default) takes the native host split
+    exactly when the decision is webrtc AND the native engine is available;
+    the energy opt-out and explicit False stay fully on-device."""
+    pytest.importorskip("mmla_audio_tpu.vad.native")
+    from mmla_audio_tpu.vad.native import native_available
+    if not native_available():
+        pytest.skip("native webrtcvad unavailable")
+
+    import dataclasses
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+
+    def make(cfg, i, **kw):
+        cap = CaptureThread(ArraySource(np.zeros(40960, np.int16))).start()
+        sess = OverlapSession(pred, cap, tmp_path / f"exp{i}", cfg=cfg, **kw)
+        cap.stop()
+        return sess
+
+    cfg_default = PipelineConfig()              # decision defaults to webrtc
+    assert cfg_default.vad.decision == "webrtc"
+    assert make(cfg_default, 0)._hostpre is not None
+    assert make(cfg_default, 1, host_preprocess=False)._hostpre is None
+    cfg_energy = dataclasses.replace(
+        cfg_default, vad=dataclasses.replace(cfg_default.vad,
+                                             decision="energy"))
+    assert make(cfg_energy, 2)._hostpre is None

@@ -84,11 +84,16 @@ def synthesize_corpus(clip_loader: Callable[[int, int], tuple[np.ndarray, str]],
                       n_mixtures: int = 6300, n_speakers: int = 630,
                       clips_per_speaker: int = 10, seed: int = 0,
                       sr: int = 16_000,
-                      out_dir=None) -> List[MixturePlanEntry]:
+                      out_dir=None,
+                      sink: Callable[[int, np.ndarray], None] | None = None
+                      ) -> List[MixturePlanEntry]:
     """Build the mixture corpus.  ``clip_loader(speaker, sample) -> (int16
     samples, speaker_id)`` abstracts the TIMIT layout.  If ``out_dir`` is
-    set, mixtures are written as ``Overlap<i>.wav``.  Returns the plan
-    (speaker ids + label per mixture) for the labels CSV."""
+    set, mixtures are written as ``Overlap<i>.wav``; ``sink(i, mixture)``
+    receives each mixture in memory (device featurization pipelines skip the
+    12,600-file round-trip the reference pays — benchmarks/
+    overlap_convergence.py).  Returns the plan (speaker ids + label per
+    mixture) for the labels CSV."""
     from mmla_audio_tpu.data.wavio import write_wav
 
     rng = np.random.RandomState(seed)
@@ -105,5 +110,7 @@ def synthesize_corpus(clip_loader: Callable[[int, int], tuple[np.ndarray, str]],
         mix = make_mixture(clips, rng, sr)
         if out_dir is not None:
             write_wav(Path(out_dir) / f"Overlap{i}.wav", mix, sr)
+        if sink is not None:
+            sink(i, mix)
         plan.append(MixturePlanEntry(i, ids, 2))
     return plan

@@ -64,8 +64,7 @@ def stratified_kfold_indices(labels: np.ndarray, n_splits: int = 5,
     return np.where(~test_mask)[0], np.where(test_mask)[0]
 
 
-def augment_to_balance(x: np.ndarray, y_onehot: np.ndarray, rng_seed: int = 0
-                       ) -> Tuple[np.ndarray, np.ndarray]:
+def augment_to_balance(x, y_onehot, rng_seed: int = 0):
     """Class rebalancing via the pyramid ladder (`augment_images`,
     overlap_detector.py:142-225): each minority class is duplicated
     ``round(max_count / count - 1)`` times, copy i blurred through i+1
@@ -73,21 +72,37 @@ def augment_to_balance(x: np.ndarray, y_onehot: np.ndarray, rng_seed: int = 0
 
     For odd-width images the ladder rounds the width up (151 -> 152) and the
     reference's final ``[:, :-1]`` crop lands back on the original width, so
-    augmented tensors batch with the originals unchanged."""
-    counts = y_onehot.sum(axis=0)
+    augmented tensors batch with the originals unchanged.
+
+    Device-residency contract: a ``jax.Array`` corpus stays on device — the
+    ladder runs as device programs and the concat is ``jnp`` (a host
+    round-trip of a reference-scale 12,600-image tensor costs minutes of
+    D2H on a slow link); balanced classes (every ratio 0 — the reference's
+    own 6,300+6,300 composition) return the inputs untouched.  NumPy in
+    gives NumPy out, as before."""
+    y_np = np.asarray(y_onehot)
+    counts = y_np.sum(axis=0)
     base = counts.max()
-    xs = [x]
-    ys = [y_onehot]
-    for c in range(y_onehot.shape[1]):
+    plans = []                  # (class indices, pyramid rounds)
+    for c in range(y_np.shape[1]):
         if counts[c] == 0:
             continue
         ratio = int(round(base / counts[c] - 1))
-        cls = np.where(y_onehot[:, c] == 1)[0]
+        cls = np.where(y_np[:, c] == 1)[0]
         for i in range(ratio):
-            aug = np.asarray(pyramid_augment(jnp.asarray(x[cls]), i + 1))
-            xs.append(aug.astype(x.dtype))
-            ys.append(y_onehot[cls])
-    return np.concatenate(xs), np.concatenate(ys)
+            plans.append((cls, i + 1))
+    if not plans:
+        return x, y_onehot
+    on_device = isinstance(x, jax.Array)
+    xd = x if on_device else jnp.asarray(x)
+    xs = [xd] + [pyramid_augment(xd[cls], rounds).astype(xd.dtype)
+                 for cls, rounds in plans]
+    ys = np.concatenate([y_np] + [y_np[cls] for cls, _ in plans])
+    x_out = jnp.concatenate(xs)
+    if not on_device:
+        x_out = np.asarray(x_out).astype(x.dtype)
+        ys = ys.astype(y_onehot.dtype)
+    return x_out, ys
 
 
 def confusion_matrix(y_true_idx: np.ndarray, y_pred_idx: np.ndarray,

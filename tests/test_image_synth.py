@@ -115,6 +115,20 @@ def test_synthesize_corpus_plan(tmp_path):
     assert counts == [2] * 6 + [3] * 4 + [4] * 1 + [5] * 1
     assert len(list(tmp_path.glob("Overlap*.wav"))) == 12
 
+    # in-memory sink sees the SAME mixtures the wav writer produced (the
+    # device-featurization pipelines skip the 12,600-file round-trip)
+    from mmla_audio_tpu.data.wavio import read_wav
+
+    got = {}
+    plan2 = synthesize_corpus(loader, n_mixtures=12, n_speakers=5,
+                              clips_per_speaker=3,
+                              sink=lambda i, m: got.__setitem__(i, m.copy()))
+    assert [e.speaker_ids for e in plan2] == [e.speaker_ids for e in plan]
+    assert sorted(got) == list(range(12))
+    for i in range(12):
+        disk, sr = read_wav(tmp_path / f"Overlap{i}.wav")
+        assert sr == 16000 and np.array_equal(disk, got[i])
+
 
 def test_speaker_count_reference_thresholds():
     """At the reference's 6300 mixtures the absolute thresholds hold exactly

@@ -234,6 +234,11 @@ class OverlapTrainConfig:
     epochs: int = 100
     batch_size: int = 32
     weighted_loss: bool = True
+    # eval/prediction chunk: bounds per-program activation memory on large
+    # held-out folds (a reference-scale 2,520-image fold evaluated as ONE
+    # batch allocates ~8 GB of stage-0 feature maps — OOM on a 16 GB chip);
+    # splits <= this size keep the historical single-batch program
+    eval_batch_size: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

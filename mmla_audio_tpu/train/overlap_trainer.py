@@ -174,7 +174,8 @@ class OverlapTrainer:
                                    batch_size=bsz,
                                    lr_schedule_epoch=lambda _: lr_epoch(epoch),
                                    rng=jax.random.fold_in(rng, epoch))[0:2]
-            vl, va = trainer.evaluate(state, x_test_d, y_test_d)
+            vl, va = trainer.evaluate(state, x_test_d, y_test_d,
+                                      batch_size=self.cfg.eval_batch_size)
             history["loss"].append(h["loss"][0])
             history["acc"].append(h["acc"][0])
             history["val_loss"].append(vl)
@@ -228,8 +229,19 @@ class OverlapTrainer:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = self.model.apply(variables, jnp.asarray(x, jnp.float32))
-        pred = np.argmax(np.asarray(logits), axis=1)
+        apply = jax.jit(lambda v, bx: jnp.argmax(self.model.apply(v, bx), -1))
+        x = jnp.asarray(x, jnp.float32)
+        # chunked prediction: same activation-memory bound as evaluate()
+        chunk = self.cfg.eval_batch_size
+        preds = []
+        for i in range(0, x.shape[0], chunk):
+            bx = x[i: i + chunk]
+            n_i = bx.shape[0]
+            if n_i < chunk and x.shape[0] > chunk:   # pad ragged tail only
+                bx = jnp.concatenate(
+                    [bx, jnp.zeros((chunk - n_i,) + bx.shape[1:], bx.dtype)])
+            preds.append(np.asarray(apply(variables, bx))[:n_i])
+        pred = np.concatenate(preds)
         true = np.argmax(np.asarray(y_onehot), axis=1)
         n = y_onehot.shape[1]
         cm = confusion_matrix(true, pred, n)

@@ -74,6 +74,7 @@ class Trainer:
         self.train_flag = train_flag
         self._epoch_jit = jax.jit(self._run_epoch, static_argnames=("batch_size",))
         self._eval_jit = jax.jit(self._eval)
+        self._eval_scan_jit = jax.jit(self._eval_scan)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, variables) -> TrainState:
@@ -153,11 +154,52 @@ class Trainer:
         correct = (jnp.argmax(logits, -1) == jnp.argmax(y, -1)).astype(jnp.float32)
         return loss, jnp.sum(correct * mask) / denom
 
+    def _eval_scan(self, params, batch_stats, xs, ys, ms):
+        """Chunked eval: one compiled program scans (n_chunks, B, ...) and
+        accumulates masked sums, so activation memory is one chunk's, not the
+        whole split's (a 2,520-image overlap val fold full-batch allocates
+        ~8 GB of stage-0 feature maps alone — OOM on one chip)."""
+        def body(carry, inp):
+            bx, by, bm = inp
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = self.model.apply(variables, bx)
+            per_ex = self.loss_fn(logits, by)
+            correct = (jnp.argmax(logits, -1) == jnp.argmax(by, -1)
+                       ).astype(jnp.float32)
+            ls, cs, ds = carry
+            return (ls + jnp.sum(per_ex * bm), cs + jnp.sum(correct * bm),
+                    ds + jnp.sum(bm)), None
+
+        init = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        (ls, cs, ds), _ = jax.lax.scan(body, init, (xs, ys, ms))
+        denom = jnp.maximum(ds, 1.0)
+        return ls / denom, cs / denom
+
     # -- public API ------------------------------------------------------------
-    def evaluate(self, state: TrainState, x, y):
+    def evaluate(self, state: TrainState, x, y, batch_size: Optional[int] = None):
+        """Eval loss/accuracy.  ``batch_size`` bounds per-program activation
+        memory via a scanned chunked pass; None (default) evaluates the whole
+        split as one batch (bit-identical to the historical path)."""
         x = jnp.asarray(x)
         y = jnp.asarray(y)
-        mask = jnp.ones(x.shape[0], jnp.float32)
+        n = x.shape[0]
+        if batch_size is not None and n > batch_size:
+            pad = (-n) % batch_size
+            mask = (jnp.arange(n + pad) < n).astype(jnp.float32)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                y = jnp.concatenate(
+                    [y, jnp.zeros((pad,) + y.shape[1:], y.dtype)])
+            xs = x.reshape((-1, batch_size) + x.shape[1:])
+            ys = y.reshape((-1, batch_size) + y.shape[1:])
+            ms = mask.reshape((-1, batch_size))
+            loss, acc = self._eval_scan_jit(state.params, state.batch_stats,
+                                            xs, ys, ms)
+            return float(loss), float(acc)
+        mask = jnp.ones(n, jnp.float32)
         loss, acc = self._eval_jit(state.params, state.batch_stats, x, y, mask)
         return float(loss), float(acc)
 

@@ -85,6 +85,27 @@ def test_overlap_trainer_end_to_end(tmp_path):
     assert np.isfinite(hist2["loss"]).all()
 
 
+def test_evaluation_chunked_matches_unchunked():
+    """eval_batch_size chunks evaluation()/evaluate() (activation-memory
+    bound for reference-scale folds); predictions and the confusion matrix
+    must be identical to the single-batch path, ragged tail included."""
+    import dataclasses
+
+    x, y = _toy_images(13, 9, seed=2)          # 22 samples
+    mcfg = OverlapModelConfig(stage_filters=(4, 4, 8), lstm_units=8,
+                              num_classes=2)
+    t_full = OverlapTrainer(mcfg, OverlapTrainConfig(eval_batch_size=512))
+    t_chunk = OverlapTrainer(mcfg, OverlapTrainConfig(eval_batch_size=8))
+    variables = t_full.model.init_variables(jax.random.PRNGKey(5),
+                                            input_shape=x.shape[1:])
+    trainer, _ = t_full._make_trainer(None)
+    state = trainer.init_state(variables)
+    ev_full = t_full.evaluation(state, x, y)
+    ev_chunk = t_chunk.evaluation(state, x, y)
+    np.testing.assert_array_equal(ev_full["confusion"], ev_chunk["confusion"])
+    assert ev_full["accuracy"] == ev_chunk["accuracy"]
+
+
 def test_save_load_variables_roundtrip(tmp_path):
     from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
     from mmla_audio_tpu.core.config import SpeakerModelConfig

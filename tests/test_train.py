@@ -112,6 +112,25 @@ def test_trainer_partial_batch_masking():
     assert np.isfinite(hist["loss"]).all()
 
 
+def test_trainer_chunked_evaluate_matches_full_batch():
+    """evaluate(batch_size=k) scans k-sized chunks (bounds activation memory
+    on reference-scale held-out folds) and must agree with the single-batch
+    path, including a ragged final chunk that needs masked padding."""
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=3)
+    model = SpeakerResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    trainer = Trainer(model, rmsprop(1e-3),
+                      lambda lg, y: keras_categorical_crossentropy(lg, y))
+    state = trainer.init_state(variables)
+    x, y = _toy_speaker_data(n_per_class=7)          # 21 samples
+    full_loss, full_acc = trainer.evaluate(state, x, y)
+    for bs in (8, 21, 64):                           # ragged, exact, > n
+        loss, acc = trainer.evaluate(state, x, y, batch_size=bs)
+        np.testing.assert_allclose(loss, full_loss, rtol=1e-5)
+        np.testing.assert_allclose(acc, full_acc, rtol=1e-6)
+
+
 def test_trainer_early_stopping():
     cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
                              num_speakers=3)

@@ -55,7 +55,7 @@ def main():
         OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
     noise = (np.random.RandomState(1).randn(160000) * 20).astype(np.int16)
 
-    phases = {"ticks": 0, "windows": 0}
+    ticks = 0
 
     # phase accounting is first-class on the Multiplexer since round 4
     # (mux.phase_seconds: gather/stage/dispatch/resolve_fetch/resolve_log);
@@ -87,14 +87,13 @@ def main():
         n = 0
         while n < args.windows * args.streams - 2 * args.streams:
             got = mux.tick()
-            phases["ticks"] += 1
+            ticks += 1
             if got == 0 and mux._inflight is None \
                     and all(s.done for s in mux.streams):
                 break
             n += got
         n += mux.flush()
         dt = time.perf_counter() - t0
-        phases["windows"] = n
     for c in caps:
         c.stop()
 
@@ -104,7 +103,7 @@ def main():
         "metric": "mux_profile",
         "streams": args.streams,
         "windows": n,
-        "ticks": phases["ticks"],
+        "ticks": ticks,
         "total_s": round(dt, 3),
         "per_window_ms": round(per_win, 3),
         **{f"{k}_ms_per_window": round(v / max(n, 1) * 1e3, 4)

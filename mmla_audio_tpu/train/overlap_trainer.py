@@ -93,16 +93,18 @@ def augment_to_balance(x, y_onehot, rng_seed: int = 0):
             plans.append((cls, i + 1))
     if not plans:
         return x, y_onehot
-    on_device = isinstance(x, jax.Array)
-    xd = x if on_device else jnp.asarray(x)
-    xs = [xd] + [pyramid_augment(xd[cls], rounds).astype(xd.dtype)
-                 for cls, rounds in plans]
     ys = np.concatenate([y_np] + [y_np[cls] for cls, _ in plans])
-    x_out = jnp.concatenate(xs)
-    if not on_device:
-        x_out = np.asarray(x_out).astype(x.dtype)
-        ys = ys.astype(y_onehot.dtype)
-    return x_out, ys
+    if isinstance(x, jax.Array):
+        xs = [x] + [pyramid_augment(x[cls], rounds).astype(x.dtype)
+                    for cls, rounds in plans]
+        return jnp.concatenate(xs), ys
+    # NumPy path: only the minority-class subsets ride the device — the
+    # originals pass through untouched (no full-corpus H2D/D2H round-trip
+    # and no f64->f32 narrowing of original rows; only the blurred copies,
+    # which go through the float pyramid anyway, are computed on device).
+    aug = [np.asarray(pyramid_augment(jnp.asarray(x[cls]), rounds))
+           .astype(x.dtype) for cls, rounds in plans]
+    return np.concatenate([x] + aug), ys.astype(y_onehot.dtype)
 
 
 def confusion_matrix(y_true_idx: np.ndarray, y_pred_idx: np.ndarray,
@@ -121,6 +123,11 @@ class OverlapTrainer:
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.model = OverlapResBLSTM(model_cfg)
+        # one jit wrapper per trainer: jit's compile cache is per-wrapper,
+        # so a fresh lambda in evaluation() would retrace (and, on a
+        # tunneled TPU, recompile ~60-90 s) on every call
+        self._argmax_apply = jax.jit(
+            lambda v, bx: jnp.argmax(self.model.apply(v, bx), -1))
 
     def _make_trainer(self, weights: Optional[np.ndarray]):
         sched = cosine_annealing(self.cfg.cosine_t_max, self.cfg.cosine_eta_max,
@@ -229,7 +236,7 @@ class OverlapTrainer:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        apply = jax.jit(lambda v, bx: jnp.argmax(self.model.apply(v, bx), -1))
+        apply = self._argmax_apply
         x = jnp.asarray(x, jnp.float32)
         # chunked prediction: same activation-memory bound as evaluate()
         chunk = self.cfg.eval_batch_size

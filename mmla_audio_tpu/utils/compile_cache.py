@@ -71,6 +71,14 @@ def enable_compile_cache(path, *, min_compile_seconds: float = 1.0,
         print(f"[WARN] compile cache disabled: cannot create {path}: {e}",
               file=sys.stderr)
         return None
+    if not os.access(path, os.W_OK):
+        # mkdir(exist_ok=True) passes silently on a pre-existing read-only
+        # dir; without this check the cache would be "enabled" against a
+        # directory JAX can never write (per-compile warnings at runtime
+        # instead of the promised single up-front warn-and-disable)
+        print(f"[WARN] compile cache disabled: {path} is not writable",
+              file=sys.stderr)
+        return None
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", str(path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -114,3 +114,26 @@ def test_enable_failure_is_nonfatal(tmp_path, capsys):
     got = enable_compile_cache(blocker / "cache")
     assert got is None
     assert "compile cache disabled" in capsys.readouterr().err
+
+
+def test_enable_existing_readonly_dir_is_nonfatal(tmp_path, capsys,
+                                                  monkeypatch):
+    """mkdir(exist_ok=True) passes on a pre-existing read-only directory, so
+    the guard must ALSO check writability — otherwise the cache is 'enabled'
+    against a dir JAX can never write (per-compile warnings instead of the
+    promised single up-front warn-and-disable).  chmod 555 is advisory for
+    root (CI runs as root), so the unwritable dir is simulated by patching
+    os.access for this path."""
+    import os
+
+    from mmla_audio_tpu.utils import compile_cache as cc
+
+    ro = tmp_path / "ro_cache"
+    ro.mkdir()
+    real_access = os.access
+    monkeypatch.setattr(
+        cc.os, "access",
+        lambda p, mode: False if Path(p) == ro else real_access(p, mode))
+    got = cc.enable_compile_cache(ro)
+    assert got is None
+    assert "not writable" in capsys.readouterr().err

@@ -159,3 +159,21 @@ def test_stratified_kfold_matches_sklearn_exactly():
         np.testing.assert_array_equal(np.sort(ref_test), np.sort(ours_test))
         np.testing.assert_array_equal(np.sort(ref_train),
                                       np.sort(ours_train))
+
+
+def test_augment_numpy_path_preserves_originals():
+    """NumPy in => NumPy out with the ORIGINAL rows bit-identical and the
+    input dtype preserved (incl. float64, which a whole-corpus jnp.asarray
+    would silently narrow to f32) — only the blurred minority copies ride
+    the device."""
+    x, y = _toy_images(20, 8)
+    x64 = x.astype(np.float64)
+    xa, ya = augment_to_balance(x64, y)
+    assert isinstance(xa, np.ndarray) and xa.dtype == np.float64
+    np.testing.assert_array_equal(xa[: len(x64)], x64)
+    assert ya.dtype == y.dtype
+    # device in => device out, originals exact
+    xd = jnp.asarray(x)
+    xa_d, _ = augment_to_balance(xd, y)
+    assert isinstance(xa_d, jax.Array)
+    np.testing.assert_array_equal(np.asarray(xa_d[: len(x)]), x)

@@ -372,10 +372,27 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _probe_backend_patient(attempts: int = 3, timeout_s: float = 180.0,
+                           recovery_sleep_s: float = 180.0) -> bool:
+    """Tunnel wedges (a client killed mid-dispatch) self-heal in ~10-30 min
+    (observed twice on 2026-08-19); a single 180 s probe would fail a bench
+    run that patience would save.  Retry the killable probe with recovery
+    sleeps between attempts — worst case ~15 min before giving up."""
+    for attempt in range(attempts):
+        if _probe_backend(timeout_s):
+            return True
+        if attempt + 1 < attempts:
+            _log(f"backend probe attempt {attempt + 1}/{attempts} timed out "
+                 f"({timeout_s:.0f} s); sleeping {recovery_sleep_s:.0f} s for "
+                 "tunnel recovery before retrying")
+            time.sleep(recovery_sleep_s)
+    return False
+
+
 def main():
-    if not _probe_backend():
-        _log("FATAL: jax backend failed to initialize within 180 s "
-             "(accelerator tunnel down?) — no benchmark numbers produced")
+    if not _probe_backend_patient():
+        _log("FATAL: jax backend failed to initialize (3 probes over ~15 min; "
+             "accelerator tunnel down?) — no benchmark numbers produced")
         sys.exit(1)
 
     import jax

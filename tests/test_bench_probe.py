@@ -1,0 +1,43 @@
+"""Pin bench.py's patient backend probe (driver-contract startup path).
+
+The graft driver's round-end ``python bench.py`` is the one run that
+produces BENCH_r{N}.json; a tunnel wedge (a client killed mid-dispatch)
+self-heals in ~10-30 min, so the startup probe must retry with recovery
+sleeps rather than fail the whole artifact on one 180 s timeout.
+"""
+
+import bench
+
+
+def test_patient_probe_succeeds_first_try_without_sleeping(monkeypatch):
+    calls = []
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: calls.append(t) or True)
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    assert bench._probe_backend_patient(attempts=3, timeout_s=5.0) is True
+    assert calls == [5.0]
+    assert slept == []
+
+
+def test_patient_probe_retries_through_transient_wedge(monkeypatch):
+    outcomes = iter([False, False, True])
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: next(outcomes))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    assert bench._probe_backend_patient(
+        attempts=3, timeout_s=1.0, recovery_sleep_s=7.0) is True
+    assert slept == [7.0, 7.0]
+
+
+def test_patient_probe_gives_up_after_attempts_without_trailing_sleep(monkeypatch):
+    n = [0]
+    def fail(t):
+        n[0] += 1
+        return False
+    monkeypatch.setattr(bench, "_probe_backend", fail)
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    assert bench._probe_backend_patient(
+        attempts=3, timeout_s=1.0, recovery_sleep_s=2.0) is False
+    assert n[0] == 3
+    assert slept == [2.0, 2.0]  # no sleep after the final failed attempt

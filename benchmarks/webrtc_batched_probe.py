@@ -19,6 +19,29 @@ B = 512
 K = 32
 
 
+# Unroll ladders to A/B (first divisor of n wins; n<=16 fully unrolls).
+# Scan lengths in the engine: 240 (downsample pairs), 120/60/30 (split
+# filterbank levels), 85 (frame loop).  The "u8" ladder is the shipped
+# default; deeper ladders shrink scan-step overhead at the cost of program
+# size.
+LADDERS = {
+    "u8": (8, 4, 2),
+    "u16": (16, 8, 4, 2),
+    "u48": (48, 24, 16, 12, 8, 6, 4, 2),
+}
+
+
+def _ladder_factor(ladder):
+    def factor(n: int) -> int:
+        if n <= 16:
+            return n
+        for u in ladder:
+            if n % u == 0:
+                return u
+        return 1
+    return factor
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,36 +52,50 @@ def main():
     n = 40960
     x = jnp.asarray((rng.randn(B, n) * 3000).astype(np.int32))
     st0 = w.webrtc_init((B,))
+    results = {}
+    decisions = {}
 
-    engine = jax.vmap(
-        lambda xi, sti: w.webrtc_vad_frames(xi, sti))
+    for name, ladder in LADDERS.items():
+        w._unroll_factor = _ladder_factor(ladder)
 
-    @jax.jit
-    def chained(st, xw):
-        def body(carry, _):
-            st, bump = carry
-            dec, st = engine(xw + bump, st)
-            return (st, jnp.sum(dec.astype(jnp.int32)) * 0), None
-        (st, _), _ = jax.lax.scan(body, (st, jnp.asarray(0, jnp.int32)),
-                                  jnp.arange(K))
-        return st
+        engine = jax.vmap(
+            lambda xi, sti: w.webrtc_vad_frames(xi, sti))
 
-    t_c0 = time.perf_counter()
-    out = chained(st0, x)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-    compile_s = time.perf_counter() - t_c0
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        @jax.jit
+        def chained(st, xw, engine=engine):
+            def body(carry, _):
+                st, bump = carry
+                dec, st = engine(xw + bump, st)
+                return (st, jnp.sum(dec.astype(jnp.int32)) * 0), None
+            (st, _), _ = jax.lax.scan(body, (st, jnp.asarray(0, jnp.int32)),
+                                      jnp.arange(K))
+            return st
+
+        t_c0 = time.perf_counter()
         out = chained(st0, x)
         np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-        times.append(time.perf_counter() - t0)
-    ms = float(np.median(times)) / K * 1e3
-    print(f"[probe] batched webrtc engine b{B}: {ms:.2f} ms/step "
-          f"(compile {compile_s:.0f} s)", file=sys.stderr, flush=True)
+        compile_s = time.perf_counter() - t_c0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chained(st0, x)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times)) / K * 1e3
+        # one-shot decision vector: restructuring must be bit-neutral
+        dec, _ = jax.jit(engine)(x, st0)
+        decisions[name] = np.asarray(dec)
+        results[name] = {"ms": round(ms, 2), "compile_s": round(compile_s, 1)}
+        print(f"[probe] batched webrtc engine b{B} [{name}]: {ms:.2f} ms/step "
+              f"(compile {compile_s:.0f} s)", file=sys.stderr, flush=True)
+
+    base = decisions["u8"]
+    for name, dec in decisions.items():
+        assert np.array_equal(dec, base), f"decision mismatch: {name}"
+    print("[probe] all ladders bit-identical decisions", file=sys.stderr,
+          flush=True)
     print(json.dumps({"metric": "webrtc_batched_engine_ms", "B": B, "K": K,
-                      "value": round(ms, 2),
-                      "compile_s": round(compile_s, 1)}))
+                      "variants": results}))
 
 
 if __name__ == "__main__":

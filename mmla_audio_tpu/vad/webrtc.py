@@ -167,7 +167,15 @@ def _unroll_factor(n: int) -> int:
     """Serial scans are scan-step-overhead-bound at small batch; unrolling U
     iterations per step (pure restructuring — arithmetic order unchanged,
     bit-exactness preserved) divides the step count.  Short sequences skip
-    the scan entirely."""
+    the scan entirely.
+
+    Ladder depth A/B'd on chip (benchmarks/webrtc_batched_probe.py, b512
+    K=32): (8,4,2) 6.15 ms/step, 16-max 5.99, 48-max 5.89 — decisions
+    bit-identical across ladders, so deeper unrolling is only a ~4 % engine
+    win (~0.5 % of the serve chain).  NOT taken: the 48-max ladder blew up
+    XLA:CPU compile time (tests/test_vad_webrtc.py sat >20 min in compile
+    vs ~2 min total before), so the suite cost dwarfs the on-chip gain.
+    (8,4,2) stays."""
     if n <= 16:
         return n
     for u in (8, 4, 2):

@@ -110,6 +110,17 @@ class Multiplexer:
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
+        # Conversation churn is the steady state of a long-lived serving
+        # host (the reference's sessions start and END, record_on_pc.py's
+        # KeyboardInterrupt path) — without retirement every finished
+        # conversation would leak a streams-list slot, a native-gather ring
+        # row, and a stacked webrtc-state row forever.  remove_stream()
+        # moves a finished stream to `_retiring`; add_stream() recycles its
+        # row (slot + detector-state row reset to a fresh Vad init) once no
+        # window of it is still pending/in-flight, archiving the old Stream
+        # (results/log intact) in `retired`.
+        self.retired: List[Stream] = []
+        self._retiring: List[Stream] = []
         # Bit-exact webrtcvad mode: every stream's detector state lives as
         # one row of a device-resident stacked WebRtcVadState; the batched
         # program gathers the dispatched rows by index, runs the engine, and
@@ -258,6 +269,7 @@ class Multiplexer:
         log = SessionLog(self.dirs.logs / f"{session_stamp(now)}-{name}.txt",
                          kind=self.kind, start_index=1)
         nf = noise_clip_i16.astype(np.float32) / 32768.0
+        row = self._claim_retired_row()
         stream = Stream(
             name, capture, log,
             noise_thresh=np.asarray(noise_threshold(jnp.asarray(nf),
@@ -265,10 +277,55 @@ class Multiplexer:
             vad_threshold_db=calibrate_threshold(
                 noise_clip_i16, self.cfg.vad.aggressiveness),
             label_names=label_names,
-            index=len(self.streams))
-        self.streams.append(stream)
+            index=len(self.streams) if row is None else row)
+        if row is None:
+            self.streams.append(stream)
+        else:
+            self.streams[row] = stream
+            self._reset_webrtc_row(row)
         self._gather_dirty = True
         return stream
+
+    def remove_stream(self, stream: Stream, close_log: bool = True) -> None:
+        """Retire a finished conversation.  The stream stops being gathered
+        immediately; its slot (streams-list position, native-gather ring row,
+        stacked webrtc-state row) is recycled by a future ``add_stream`` once
+        no window of it is still pending or in flight — so a long-lived host
+        serving arriving/ending conversations stays at its high-water stream
+        count instead of growing without bound.  The Stream object (results,
+        log path) stays valid; any in-flight window of it still resolves to
+        its log.  Idempotent."""
+        if stream in self._retiring or stream in self.retired:
+            return
+        self._mark_done(stream)
+        if close_log:
+            stream.log.close()
+        self._retiring.append(stream)
+        self._gather_dirty = True
+
+    def _claim_retired_row(self) -> Optional[int]:
+        """Pop a recyclable row: a retiring stream none of whose windows are
+        pending or in an unresolved dispatched batch (their webrtc-state
+        scatter must land BEFORE the row is reset for the new stream)."""
+        inflight = self._inflight[0] if self._inflight is not None else ()
+        for i, s in enumerate(self._retiring):
+            if s not in self._pending_streams and s not in inflight:
+                self._retiring.pop(i)
+                self.retired.append(s)
+                return s.index
+        return None
+
+    def _reset_webrtc_row(self, row: int) -> None:
+        """Fresh WebRtcVad_InitCore state for a recycled row (a new stream
+        must behave exactly like a new ``Vad`` instance; rows at or past the
+        current stacked length are covered by the next _ensure call)."""
+        if self._webrtc_states is None or row >= self._webrtc_n:
+            return
+        from mmla_audio_tpu.vad.webrtc import webrtc_init
+
+        fresh = webrtc_init((1,))
+        self._webrtc_states = jax.tree_util.tree_map(
+            lambda a, f: a.at[row].set(f[0]), self._webrtc_states, fresh)
 
     def _ensure_webrtc_states(self):
         """Grow the stacked device-side detector state to cover every

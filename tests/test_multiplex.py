@@ -319,3 +319,81 @@ def test_multiplexer_webrtc_vad_matches_single_session(tmp_path):
         for a, b in zip(jax.tree_util.tree_leaves(row),
                         jax.tree_util.tree_leaves(states[s])):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remove_stream_recycles_rows_bit_exactly(tmp_path):
+    """Conversation churn stays bounded: retiring finished streams and adding
+    new ones reuses their slots AND their stacked webrtc-state rows (reset to
+    a fresh Vad init) — a long-lived host serving arriving/ending
+    conversations holds its high-water stream count instead of leaking a
+    streams-list slot + gather row + detector-state row per conversation.
+    The recycled-row stream's decisions must be bit-identical to the same
+    audio served by a fresh multiplexer (fresh-``Vad``-instance semantics)."""
+    audio_b = np.concatenate([synth_speech_i16(40960, seed=77),
+                              synth_speech_i16(40960, seed=78)])
+    noise = _noise(seed=3)
+
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux_ref = Multiplexer(pred, tmp_path / "exp_ref", kind="overlap", bucket=2)
+    assert mux_ref.cfg.vad.decision == "webrtc"
+    cap = CaptureThread(ArraySource(audio_b)).start()
+    s_ref = mux_ref.add_stream("ref", cap, noise)
+    mux_ref.run_until_exhausted()
+    cap.stop()
+    ref = [r[1] for r in s_ref.results]
+    assert len(ref) == 2
+
+    mux, caps = _make_mux(tmp_path, n_streams=2, windows_each=2, bucket=2)
+    mux.run_until_exhausted()
+    old = list(mux.streams)
+    for s in old:
+        mux.remove_stream(s)
+        mux.remove_stream(s)                    # idempotent
+    cap_b = CaptureThread(ArraySource(audio_b)).start()
+    late = mux.add_stream("late", cap_b, noise)
+    assert late.index == old[0].index           # slot recycled...
+    assert len(mux.streams) == 2                # ...not appended
+    assert mux.retired == [old[0]] and mux._retiring == [old[1]]
+    mux.run_until_exhausted()
+    cap_b.stop()
+    for c in caps:
+        c.stop()
+    assert mux._webrtc_n <= 2                   # stacked state stayed bounded
+    assert [r[1] for r in late.results] == ref  # fresh-Vad semantics on reuse
+    assert len(old[0].results) == 2             # retired results intact
+
+
+def test_remove_stream_defers_row_reuse_while_pending(tmp_path):
+    """A retiring stream's row must NOT be recycled while one of its windows
+    is still pending/in flight: the dispatched batch scatters that stream's
+    updated detector state back to its row, which would corrupt a new
+    stream's freshly-reset state."""
+    import time
+
+    mux, caps = _make_mux(tmp_path, n_streams=2, windows_each=1, bucket=4)
+    mux.min_fill = 1.0                          # hold gathered rows pending
+    n_win = mux.cfg.audio.window_samples
+    for s in mux.streams:                       # wait for the rings to fill
+        for _ in range(1000):
+            if s.capture.ring.available >= n_win:
+                break
+            time.sleep(0.005)
+    mux.tick()                                  # gather both; no dispatch
+    s0 = mux.streams[0]
+    assert s0 in mux._pending
+    mux.remove_stream(s0)
+    cap = CaptureThread(ArraySource(synth_speech_i16(40960, seed=99))).start()
+    late = mux.add_stream("late", cap, _noise(seed=9))
+    assert late.index == 2                      # appended: row 0 still unsafe
+    total = mux.run_until_exhausted()
+    assert total == 3                           # s0's pending window resolved
+    assert len(s0.results) == 1                 # ...into the retired stream
+    cap2 = CaptureThread(
+        ArraySource(synth_speech_i16(40960, seed=100))).start()
+    late2 = mux.add_stream("late2", cap2, _noise(seed=10))
+    assert late2.index == s0.index              # now safe to recycle
+    for c in caps:
+        c.stop()
+    cap.stop()
+    cap2.stop()

@@ -97,3 +97,20 @@ def test_speaker_live_fake_with_registration(tmp_path, capsys):
     # persisted fine-tuned model + feature cache (reference artifacts)
     assert (tmp_path / "experiment" / "model" / "metadata.json").exists()
     assert (tmp_path / "experiment" / "experiment_feature.npz").exists()
+
+
+def test_speaker_post_cli(tmp_path, capsys):
+    """speaker-post is the SI post-time user surface (standardize corpus ->
+    dict from filenames -> segment/VAD-mark -> whole-file MFCC slicing ->
+    batch predict -> logs + charts)."""
+    root = tmp_path / "experiment"
+    cli.main(["setup", "--root", str(root)])
+    write_wav(root / "corpus" / "alice.wav", synth_speech_i16(16000, seed=5))
+    write_wav(root / "corpus" / "bob.wav", synth_speech_i16(16000, seed=6))
+    write_wav(root / "recordings" / "post-time" / "whole" / "audio_c.wav",
+              synth_speech_i16(16000 * 3, seed=2))
+    write_wav(root / "Ambient_Noise.wav",
+              (np.random.RandomState(0).randn(160000) * 20).astype(np.int16))
+    cli.main(["speaker-post", "--root", str(root)])
+    assert (root / "logs" / "audio_c.txt").exists()
+    assert (root / "charts" / "audio_c.html").exists()

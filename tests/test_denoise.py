@@ -209,3 +209,23 @@ def test_precision_config_threads_into_gemms():
         assert precisions, "denoise lost its GEMM formulation"
         assert all(p == (expect, expect) for p in precisions), (
             prec, set(precisions))
+
+
+def test_reduce_noise_fallback_paths_match_golden():
+    """hop that does NOT divide n_fft disables both fast paths (split-GEMM
+    framing and shifted-pad overlap-add) and takes the literal framing +
+    scatter overlap-add fallbacks — those must match the NumPy golden just
+    like the fast paths (same noisereduce semantics, different schedule)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DenoiseConfig(), hop_length=320)
+    assert cfg.n_fft % cfg.hop_length != 0
+    noise = _noise(160000, seed=12)
+    sig = synth_speech(40960, seed=13) + _noise(40960, seed=14)
+    thr = noise_threshold(jnp.asarray(noise), cfg)
+    ours = np.asarray(reduce_noise(jnp.asarray(sig), thr, cfg, full_pad=True))
+    ref = gold.reduce_noise(sig.astype(np.float64), noise.astype(np.float64),
+                            hop=320)
+    assert ours.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=5e-3 * scale)

@@ -126,3 +126,69 @@ def test_config_geometry():
     assert cfg.win_length == 400 and cfg.hop_length == 160
     assert cfg.n_samples == 24000 and cfg.n_frames == 151
     assert cfg.image_shape == (128, 151, 3)
+
+
+def test_stft_power_uncentered_and_constant_pad():
+    """The non-default framing branches: center=False (no padding,
+    1+(n-n_fft)//hop frames) and center=True with zero (non-reflect)
+    padding — both against a direct NumPy rFFT restatement."""
+    y = synth_speech(4000, seed=9)
+    n_fft, hop = 400, 160
+    w = np.asarray(spectral.hann_periodic(n_fft), np.float64)
+
+    ours = np.asarray(spectral.stft_power(jnp.asarray(y), n_fft, hop,
+                                          center=False))
+    T = 1 + (len(y) - n_fft) // hop
+    ref = np.stack([np.abs(np.fft.rfft(y[t * hop: t * hop + n_fft] * w)) ** 2
+                    for t in range(T)], axis=1)
+    assert ours.shape == ref.shape == (n_fft // 2 + 1, T)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4 * ref.max())
+
+    ours2 = np.asarray(spectral.stft_power(jnp.asarray(y), n_fft, hop,
+                                           pad_mode="constant"))
+    yp = np.pad(y, n_fft // 2)
+    T2 = 1 + len(y) // hop
+    ref2 = np.stack([np.abs(np.fft.rfft(yp[t * hop: t * hop + n_fft] * w)) ** 2
+                     for t in range(T2)], axis=1)
+    np.testing.assert_allclose(ours2, ref2, rtol=2e-3, atol=1e-4 * ref2.max())
+
+
+def test_zero_crossing_rate_uncentered():
+    """center=False ZCR: frames taken straight off the signal, count of
+    sign-bit changes divided by frame_length (librosa's pad-back)."""
+    rng = np.random.RandomState(3)
+    y = (rng.randn(2000) * 0.1).astype(np.float32)
+    fl, hop = 400, 160
+    ours = np.asarray(spectral.zero_crossing_rate(
+        jnp.asarray(y), fl, hop, center=False))
+    T = 1 + (len(y) - fl) // hop
+    ref = []
+    for t in range(T):
+        fr = y[t * hop: t * hop + fl].astype(np.float64).copy()
+        fr[np.abs(fr) <= 1e-10] = 0.0
+        s = np.signbit(fr)
+        ref.append(np.count_nonzero(s[1:] != s[:-1]) / fl)
+    np.testing.assert_allclose(ours, np.asarray(ref), atol=1e-7)
+
+
+def test_mel_filterbank_htk_scale():
+    """htk=True: 2595*log10(1+f/700) mel points (the python_speech_features
+    scale) with Slaney area normalization, restated inline."""
+    sr, n_fft, n_mels = 16000, 512, 20
+    ours = spectral.mel_filterbank(sr, n_fft, n_mels, htk=True)
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    hz = to_hz(np.linspace(to_mel(0.0), to_mel(sr / 2), n_mels + 2))
+    freqs = np.linspace(0.0, sr / 2, n_fft // 2 + 1)
+    ref = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, c, hi = hz[m], hz[m + 1], hz[m + 2]
+        up = (freqs - lo) / (c - lo)
+        down = (hi - freqs) / (hi - c)
+        ref[m] = np.maximum(0.0, np.minimum(up, down)) * 2.0 / (hi - lo)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

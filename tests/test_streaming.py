@@ -441,3 +441,100 @@ def test_host_preprocess_auto_routing(tmp_path):
         cfg_default, vad=dataclasses.replace(cfg_default.vad,
                                              decision="energy"))
     assert make(cfg_energy, 2)._hostpre is None
+
+
+def test_speaker_host_preprocess_matches_device_webrtc(tmp_path):
+    """Speaker twin of the overlap host/device parity test: since round 4
+    `host_preprocess="auto"` routes B=1 speaker sessions through the native
+    host split wherever the engine is available, so the fully-fused device
+    identify path would otherwise go untested — and the two arrangements
+    must label identically (same denoise math, bit-matched VAD engines)."""
+    pytest.importorskip("mmla_audio_tpu.vad.native")
+    from mmla_audio_tpu.vad.native import native_available
+    if not native_available():
+        pytest.skip("native webrtcvad unavailable")
+
+    cfg = PipelineConfig(
+        speaker_model=SpeakerModelConfig(stage_filters=(8, 8, 8),
+                                         lstm_units=16, num_speakers=4))
+    assert cfg.vad.decision == "webrtc"
+    samples = np.concatenate([
+        synth_speech_i16(40960, seed=11),
+        np.zeros(40960, np.int16),
+        synth_speech_i16(40960, seed=12),
+    ])
+    noise = (np.random.RandomState(5).randn(160000) * 20).astype(np.int16)
+    variables = SpeakerResBLSTM(cfg.speaker_model).init_variables(
+        jax.random.PRNGKey(0))
+
+    def run(host):
+        pred = SpeakerPredictor(variables, cfg.speaker_model)
+        cap = CaptureThread(ArraySource(samples)).start()
+        sess = SpeakerSession(pred, cap,
+                              tmp_path / f"exp_sp_host{int(host)}", cfg=cfg,
+                              speaker_id_dict={"0": "a", "1": "b",
+                                               "2": "c", "3": "d"},
+                              host_preprocess=host)
+        sess.set_noise_profile(noise)
+        results = sess.run(max_windows=3)
+        cap.stop()
+        assert (sess._hostpre is not None) == host
+        return [r[1] for r in results]
+
+    labels_d = run(False)
+    labels_h = run(True)
+    assert labels_h == labels_d
+    assert labels_h[1] == "silent"
+
+
+def test_energy_decision_session_path(tmp_path):
+    """`--vad energy` is the documented fast opt-out; since the default
+    flipped to webrtc (round 4) the energy branch of preprocess_window has
+    no other coverage.  A quiet window must gate to silent and a loud one
+    must pass, with the decision coming from the calibrated threshold."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        vad=dataclasses.replace(PipelineConfig().vad, decision="energy"))
+    samples = np.concatenate([
+        synth_speech_i16(40960, seed=21),          # loud speech
+        (np.random.RandomState(6).randn(40960) * 3).astype(np.int16),
+    ])
+    noise = (np.random.RandomState(6).randn(160000) * 3).astype(np.int16)
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    cap = CaptureThread(ArraySource(samples)).start()
+    sess = OverlapSession(pred, cap, tmp_path / "exp_energy", cfg=cfg)
+    assert sess._hostpre is None        # host split is webrtc-only
+    sess.set_noise_profile(noise)
+    results = sess.run(max_windows=2)
+    cap.stop()
+    labels = [r[1] for r in results]
+    assert labels[0] in ("non-overlapped", "overlapped")
+    assert labels[1] == "silent"        # noise-only window gated by energy
+
+
+def test_session_save_recordings_and_telemetry(tmp_path):
+    """The reference writes each window's WAV and (dormant) POSTs each label
+    (record_on_pc.py:133,180-185): save_recordings persists `<idx>.wav` per
+    decided window and every label flows through the telemetry client."""
+    sent = []
+
+    class _Tele:
+        def send(self, label):
+            sent.append(label)
+
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    cap = CaptureThread(ArraySource(synth_speech_i16(40960, seed=31))).start()
+    sess = OverlapSession(pred, cap, tmp_path / "exp_rec",
+                          save_recordings=True, telemetry=_Tele())
+    sess.set_noise_profile(
+        (np.random.RandomState(7).randn(160000) * 20).astype(np.int16))
+    results = sess.run(max_windows=1)
+    cap.stop()
+    assert len(results) == 1
+    idx, label, _ = results[0]
+    assert sent == [label]
+    assert (sess.rec_dir / f"{idx}.wav").exists()

@@ -303,3 +303,25 @@ def test_fit_device_resident_inputs_match_host_inputs():
     np.testing.assert_allclose(h_dev["loss"], h_np["loss"], rtol=1e-6)
     np.testing.assert_allclose(h_dev["acc"], h_np["acc"], rtol=1e-6)
     np.testing.assert_allclose(h_dev["val_loss"], h_np["val_loss"], rtol=1e-6)
+
+
+def test_weighted_cce_sigmoid_activation():
+    """activation='sigmoid' renormalizes sigmoid outputs inside the weighted
+    loss (the transfer head is sigmoid, speaker_identification.py:409)."""
+    logits = jnp.asarray([[0.0, 0.0]])   # sigmoid [.5,.5] -> renorm [.5,.5]
+    y = jnp.asarray([[0.0, 1.0]])
+    got = float(weighted_categorical_crossentropy(
+        logits, y, [1.0, 1.0], activation="sigmoid")[0])
+    np.testing.assert_allclose(got, -np.log(0.5), rtol=1e-6)
+    # weights scale the sigmoid-branch terms identically to softmax
+    w2 = float(weighted_categorical_crossentropy(
+        logits, y, [1.0, 2.0], activation="sigmoid")[0])
+    np.testing.assert_allclose(w2, 2 * got, rtol=1e-6)
+
+
+def test_categorical_accuracy_metric():
+    from mmla_audio_tpu.train import categorical_accuracy
+
+    logits = jnp.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0], [0.0, 1.0]])
+    y = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0], [1.0, 0.0]])
+    np.testing.assert_allclose(float(categorical_accuracy(logits, y)), 0.5)

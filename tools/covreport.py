@@ -23,7 +23,9 @@ def executable_lines(path: str) -> set[int]:
     while stack:
         code = stack.pop()
         for _, _, ln in code.co_lines():
-            if ln is not None:
+            # line 0 is the module code object's synthetic RESUME position,
+            # not a source line
+            if ln:
                 lines.add(ln)
         for const in code.co_consts:
             if hasattr(const, "co_lines"):

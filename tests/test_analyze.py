@@ -239,3 +239,62 @@ def test_session_log_no_double_header(tmp_path):
     b.append("silent")
     rows = parse_log(tmp_path / "s.txt")
     assert [(r[0], r[1]) for r in rows] == [(1, "overlapped"), (2, "silent")]
+
+
+def test_standardize_dbfs_and_float_input():
+    """The dBFS normalization branch (pydub apply_gain semantics on
+    int16-scale RMS) and float-input auto-detection: output RMS lands on the
+    requested target; an all-zero signal passes through the rms<=0 guard."""
+    rng = np.random.RandomState(11)
+    sig = (rng.randn(32000) * 2000).astype(np.int16)
+    out = standardize_audio(sig, 16000, dbfs=-20.0)
+    rms = np.sqrt(np.mean(np.square(out.astype(np.float64))))
+    got_dbfs = 20.0 * np.log10(rms / 32768.0)
+    assert abs(got_dbfs - (-20.0)) < 0.1
+    # float [-1, 1] input takes the non-int16 branch, same result
+    out_f = standardize_audio(sig.astype(np.float32) / 32768.0, 16000,
+                              dbfs=-20.0)
+    np.testing.assert_array_equal(out, out_f)
+    # silent input: gain guard returns it unchanged
+    zeros = np.zeros(16000, np.int16)
+    assert np.array_equal(standardize_audio(zeros, 16000, dbfs=-20.0), zeros)
+
+
+def test_standardize_energy_decision_trim():
+    """silence_remove with the energy opt-out decision (the webrtc default
+    orphaned this branch): trailing noise is trimmed, speech kept."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import VadConfig
+
+    rng = np.random.RandomState(12)
+    noise = (rng.randn(160000) * 10).astype(np.int16)
+    sig = np.concatenate([
+        synth_speech_i16(24000, seed=3),
+        (rng.randn(16000) * 10).astype(np.int16),
+    ])
+    out = standardize_audio(sig, 16000, noise=noise, silence_remove=True,
+                            vad_cfg=dataclasses.replace(VadConfig(),
+                                                        decision="energy"))
+    assert 0 < len(out) < len(sig)
+
+
+def test_overlap_post_analyze_energy_decision(tmp_path):
+    """Post-time replay with --vad energy: same pipeline, energy-calibrated
+    per-segment silent marking (the cached jitted kept-frame counter)."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        vad=dataclasses.replace(PipelineConfig().vad, decision="energy"))
+    dirs = _experiment_with_conversation(tmp_path, seconds=4)
+    model = OverlapResBLSTM()
+    pred = OverlapPredictor(model.init_variables(jax.random.PRNGKey(0)))
+    logs = overlap_post_analyze(dirs, pred, cfg=cfg,
+                                start_time=datetime(2026, 1, 1))
+    rows = parse_log(list(logs.values())[0])
+    assert len(rows) >= 2
+    assert all(r[1] in ("non-overlapped", "overlapped", "silent")
+               for r in rows)

@@ -66,3 +66,26 @@ def test_full_size_overlap_weight_count():
     v = model.init_variables(jax.random.PRNGKey(0))
     flat = overlap_variables_to_keras(v, cfg)
     assert len(flat) == 124
+
+
+def test_mismatched_checkpoint_raises():
+    """Wrong cfg for a weight list must raise loudly (a silent mismatch
+    would only surface as garbage predictions at apply time)."""
+    import pytest
+
+    cfg = OverlapModelConfig(stage_filters=(4, 8), blocks_per_stage=2,
+                             lstm_units=4, num_classes=2)
+    v = OverlapResBLSTM(cfg).init_variables(jax.random.PRNGKey(0))
+    flat = overlap_variables_to_keras(v, cfg)
+    with pytest.raises(ValueError, match="ran out of weights"):
+        overlap_variables_from_keras(flat[:-2], cfg)
+    with pytest.raises(ValueError, match="unconsumed weights"):
+        overlap_variables_from_keras(
+            flat + [np.zeros((3, 3), np.float32)], cfg)
+
+    scfg = SpeakerModelConfig(stage_filters=(4, 8), blocks_per_stage=2,
+                              lstm_units=4, num_speakers=5)
+    sv = SpeakerResBLSTM(scfg).init_variables(jax.random.PRNGKey(1))
+    sflat = speaker_variables_to_keras(sv, scfg)
+    with pytest.raises(ValueError, match="does not match the checkpoint"):
+        speaker_variables_from_keras(sflat, scfg, head_units=7)

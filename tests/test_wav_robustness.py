@@ -103,3 +103,52 @@ def test_native_extra_chunks_skipped(tmp_path):
     back = np.ctypeslib.as_array(out, shape=(n,)).copy()
     lib.wav_free(out)
     np.testing.assert_array_equal(back, sig)
+
+
+def test_python_reader_sampwidth_and_stereo(tmp_path):
+    """Python-reader twins of the native checks: 8-bit PCM rejected;
+    stereo keeps channel 0 (the ReSpeaker 2-mic path, record_on_pi.py)."""
+    import wave
+
+    import pytest
+
+    from mmla_audio_tpu.data.wavio import read_wav as read_wav_py
+
+    p8 = tmp_path / "w8.wav"
+    with wave.open(str(p8), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(16000)
+        wf.writeframes(bytes(64))
+    with pytest.raises(ValueError, match="16-bit"):
+        read_wav_py(p8)
+
+    st = tmp_path / "stereo.wav"
+    left = np.arange(100, dtype=np.int16)
+    right = -left
+    inter = np.empty(200, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    with wave.open(str(st), "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(inter.tobytes())
+    data, rate = read_wav_py(st)
+    assert rate == 16000
+    np.testing.assert_array_equal(data, left)
+
+
+def test_write_wav_float_and_mono_guard(tmp_path):
+    import pytest
+
+    from mmla_audio_tpu.data.wavio import read_wav, write_wav
+
+    y = np.linspace(-1.0, 1.0, 64).astype(np.float32)
+    p = tmp_path / "f.wav"
+    write_wav(p, y)
+    data, rate = read_wav(p)
+    np.testing.assert_array_equal(
+        data, (np.clip(y, -1, 1) * 32767.0).astype(np.int16))
+
+    with pytest.raises(ValueError, match="mono"):
+        write_wav(tmp_path / "bad.wav", np.zeros((10, 2), np.int16))

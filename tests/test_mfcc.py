@@ -103,3 +103,17 @@ def test_config_geometry():
     cfg = SpeakerFeatureConfig()
     assert cfg.win_length == 400 and cfg.hop_length == 160
     assert cfg.feature_shape == (256, 39)
+
+
+def test_featurize_corpus_rejects_wrong_rate(tmp_path):
+    """A corpus WAV at a non-configured rate must raise (featurizing at the
+    wrong rate silently produces garbage MFCCs and an unusable model)."""
+    import pytest
+
+    from mmla_audio_tpu.data.corpus import featurize_corpus
+    from mmla_audio_tpu.data.wavio import write_wav
+
+    write_wav(tmp_path / "a.wav",
+              np.zeros(8000, np.int16) + 100, sample_rate=8000)
+    with pytest.raises(ValueError, match="sample rate"):
+        featurize_corpus(tmp_path)

@@ -209,3 +209,13 @@ def test_hangover_extends_speech_tail():
     assert dec[:T_burst][2:].all()       # burst detected (after warm-up)
     assert tail[:1].any()                # at least one hangover frame
     assert not tail[-5:].any()           # silence eventually wins
+
+
+def test_guard_raises():
+    """Invalid aggressiveness and unsupported sample rate fail loudly."""
+    with pytest.raises(ValueError, match="aggressiveness"):
+        WebRtcVad(mode=5)
+    st = webrtc_init()
+    frame = jnp.zeros((1, 480), jnp.int32)
+    with pytest.raises(ValueError, match="sample rate"):
+        webrtc_vad_frames(frame, st, mode=3, frame_len=480, sample_rate=44100)

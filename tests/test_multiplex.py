@@ -397,3 +397,35 @@ def test_remove_stream_defers_row_reuse_while_pending(tmp_path):
         c.stop()
     cap.stop()
     cap2.stop()
+
+
+def test_churn_soak_state_stays_at_high_water(tmp_path):
+    """Three generations of conversations through one multiplexer: state
+    (streams list, stacked detector rows) holds at the high-water count and
+    every window of every generation resolves exactly once."""
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap", bucket=4)
+    noise = _noise(seed=3)
+    all_streams, caps = [], []
+
+    def admit(tag, n):
+        for i in range(n):
+            cap = CaptureThread(ArraySource(
+                synth_speech_i16(40960, seed=hash((tag, i)) % 1000))).start()
+            caps.append(cap)
+            all_streams.append(mux.add_stream(f"{tag}{i}", cap, noise))
+
+    admit("g0_", 4)
+    for gen in range(1, 4):
+        assert mux.run_until_exhausted() == 4
+        for s in list(mux.streams):
+            mux.remove_stream(s)
+        admit(f"g{gen}_", 4)
+        assert len(mux.streams) == 4            # slots recycled, not grown
+    assert mux.run_until_exhausted() == 4
+    for c in caps:
+        c.stop()
+    assert mux._webrtc_n <= 4                   # detector rows at high water
+    assert len(mux.retired) + len(mux._retiring) == 12
+    assert all(len(s.results) == 1 for s in all_streams)

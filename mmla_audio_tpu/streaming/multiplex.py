@@ -294,7 +294,8 @@ class Multiplexer:
         serving arriving/ending conversations stays at its high-water stream
         count instead of growing without bound.  The Stream object (results,
         log path) stays valid; any in-flight window of it still resolves to
-        its log.  Idempotent."""
+        its log.  The capture is the caller's to stop (the Multiplexer never
+        owns producer threads).  Idempotent."""
         if stream in self._retiring or stream in self.retired:
             return
         self._mark_done(stream)

@@ -3,9 +3,11 @@ from mmla_audio_tpu.parallel.mesh import (
     DataParallel,
     batch_sharding,
     make_mesh,
+    param_shardings,
     replicate_tree,
     replicated,
     shard_batch,
+    shard_params,
 )
 
 __all__ = [
@@ -13,7 +15,9 @@ __all__ = [
     "batch_sharding",
     "distributed",
     "make_mesh",
+    "param_shardings",
     "replicate_tree",
     "replicated",
     "shard_batch",
+    "shard_params",
 ]

@@ -21,7 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mmla_audio_tpu.core.config import MeshConfig
 
 __all__ = ["make_mesh", "replicated", "batch_sharding", "shard_batch",
-           "replicate_tree", "DataParallel"]
+           "replicate_tree", "param_shardings", "shard_params",
+           "DataParallel"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
@@ -57,6 +58,41 @@ def shard_batch(x, mesh: Mesh):
 
 def replicate_tree(tree: Any, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def param_shardings(tree: Any, mesh: Mesh, axis: Optional[str] = None):
+    """Tensor-parallel sharding rule for a parameter tree: partition the
+    LAST (output/feature) dimension of every >=2-D leaf that divides evenly
+    by the model-axis size; replicate everything else (biases, BN
+    scale/shift, odd-sized heads).
+
+    This is GSPMD layout-level TP: conv kernels shard on C_out, dense/LSTM
+    kernels on their feature dim, and XLA's partitioner inserts the ICI
+    collectives (all-gathers on the sharded-contraction boundaries) under
+    ``jit``.  Results are numerically identical to the replicated layout —
+    pinned by tests/test_parallel.py — because sharding is layout, not
+    algorithm.  For these few-M-param models TP is headroom, not a need
+    (SURVEY §2.5: the scaling story is data-parallel window batching); the
+    rule exists so a pod-scale deployment can spread parameter memory and
+    is proven end-to-end by ``__graft_entry__.dryrun_multichip``'s 2-D
+    (data x model) mesh leg.
+    """
+    axis = mesh.axis_names[-1] if axis is None else axis
+    n = mesh.shape[axis]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if n > 1 and len(shape) >= 2 and shape[-1] % n == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def shard_params(tree: Any, mesh: Mesh, axis: Optional[str] = None):
+    """``device_put`` a parameter tree with :func:`param_shardings`."""
+    return jax.device_put(tree, param_shardings(tree, mesh, axis))
 
 
 class DataParallel:

@@ -247,7 +247,19 @@ class Trainer:
             n_data = mesh.shape[data_axis]
             assert batch_size % n_data == 0, (batch_size, n_data)
             rep = NamedSharding(mesh, P())
-            state = jax.device_put(state, rep)
+            if mesh.shape[mesh.axis_names[-1]] > 1:
+                # 2-D (data x model) mesh: spread parameters (and their
+                # optimizer-state mirrors) over the model axis instead of
+                # replicating — param_shardings is a per-leaf shape rule, so
+                # applying it to the whole TrainState shards every >=2-D
+                # kernel and replicates batch stats / biases / counters.
+                # Layout only: results match the replicated run
+                # (tests/test_trainer.py pins fit-history equality).
+                from mmla_audio_tpu.parallel import param_shardings
+
+                state = jax.device_put(state, param_shardings(state, mesh))
+            else:
+                state = jax.device_put(state, rep)
             # the scan reshapes to (n_batches, batch, ...): shard dim 1
             xp = jax.device_put(xp, NamedSharding(mesh, P(data_axis)))
             yp = jax.device_put(yp, NamedSharding(mesh, P(data_axis)))

@@ -42,3 +42,34 @@ def test_mesh_fit_matches_single_device():
             jax.tree_util.tree_leaves_with_path(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=str(p1))
+
+
+def test_mesh_fit_2d_model_axis_matches_replicated():
+    """fit on a 2-D (4 data x 2 model) mesh spreads the parameter tree over
+    the model axis (Trainer's param_shardings branch) and must match the
+    replicated 8x1-mesh run — sharding is layout, not algorithm."""
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=2)
+    x, y = _data()
+
+    def run(mesh):
+        model = SpeakerResBLSTM(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        tr = Trainer(model, rmsprop(1e-3), keras_categorical_crossentropy)
+        state = tr.init_state(variables)
+        state, hist = tr.fit(state, x, y, epochs=2, batch_size=16,
+                             rng=jax.random.PRNGKey(1), mesh=mesh)
+        return state, hist
+
+    s_dp, h_dp = run(make_mesh())
+    s_tp, h_tp = run(make_mesh(n_data=4, n_model=2))
+    np.testing.assert_allclose(h_dp["loss"], h_tp["loss"],
+                               rtol=1e-4, atol=1e-5)
+    shard_seen = False
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_dp.params),
+            jax.tree_util.tree_leaves_with_path(s_tp.params)):
+        shard_seen |= not b.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(p1))
+    assert shard_seen  # the model axis genuinely partitioned some kernel

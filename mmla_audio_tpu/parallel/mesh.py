@@ -69,9 +69,12 @@ def param_shardings(tree: Any, mesh: Mesh, axis: Optional[str] = None):
     This is GSPMD layout-level TP: conv kernels shard on C_out, dense/LSTM
     kernels on their feature dim, and XLA's partitioner inserts the ICI
     collectives (all-gathers on the sharded-contraction boundaries) under
-    ``jit``.  Results are numerically identical to the replicated layout —
-    pinned by tests/test_parallel.py — because sharding is layout, not
-    algorithm.  For these few-M-param models TP is headroom, not a need
+    ``jit``.  Sharding is layout, not algorithm, but it changes reduction
+    ORDER: a single step agrees with the replicated layout to f32 ulp-level
+    noise (pinned tightly by tests/test_parallel.py), and multi-epoch
+    training agrees to ~1e-4 once RMSprop-style preconditioning amplifies
+    the drift (pinned by tests/test_parallel_training.py).  For these
+    few-M-param models TP is headroom, not a need
     (SURVEY §2.5: the scaling story is data-parallel window batching); the
     rule exists so a pod-scale deployment can spread parameter memory and
     is proven end-to-end by ``__graft_entry__.dryrun_multichip``'s 2-D

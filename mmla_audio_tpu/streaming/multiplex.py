@@ -53,12 +53,19 @@ __all__ = ["Stream", "Multiplexer"]
 
 
 class Stream:
-    """One conversation: capture thread + log + calibration state."""
+    """One conversation: capture thread + log + calibration state.
+
+    ``results`` keeps the most recent ``results_cap`` (index, label,
+    timestamp) tuples (None = unbounded).  The TSV ``log`` is always the
+    complete record; ``results`` is the in-memory tail for live consumers,
+    so a cap loses nothing durable."""
 
     def __init__(self, name: str, capture, log: SessionLog,
                  noise_thresh, vad_threshold_db: float,
                  label_names: Optional[Dict[str, str]] = None,
-                 index: int = 0):
+                 index: int = 0, results_cap: Optional[int] = None):
+        from collections import deque
+
         self.name = name
         self.capture = capture
         self.log = log
@@ -66,8 +73,10 @@ class Stream:
         self.vad_threshold_db = vad_threshold_db
         self.label_names = label_names
         self.index = index                  # row in the stacked webrtc state
-        self.results: List[tuple] = []
+        self.results = deque(maxlen=results_cap) if results_cap else []
         self.done = False
+        self.retiring = False               # remove_stream called
+        self.archive = True                 # keep the Stream in .retired
 
 
 class Multiplexer:
@@ -78,6 +87,17 @@ class Multiplexer:
     tick rounds the ready count up to the smallest sufficient bucket; one
     compiled program is cached per bucket).  Padded rows are masked — one
     window of wasted compute each, bounded by the ladder spacing.
+
+    Host-state retention policy (a week-long 1,000-stream host must stay
+    bounded — the TSV logs on disk are always the complete record):
+
+    * ``results_cap`` bounds every stream's in-memory ``results`` tail to
+      the most recent N decisions (None = unbounded, the historical
+      default; logged-only deployments want a small cap).
+    * ``remove_stream(stream, archive=False)`` drops a finished
+      conversation's Stream object once its row is recycled instead of
+      archiving it in ``retired`` — otherwise ``retired`` accretes one
+      full Stream (with its results tail) per finished conversation.
     """
 
     def __init__(self, predictor, dirs: ExperimentDirs | str, *,
@@ -85,6 +105,7 @@ class Multiplexer:
                  buckets: Sequence[int] = (8, 64),
                  min_fill: float | None = None,
                  max_pending_ticks: int = 4,
+                 results_cap: int | None = None,
                  cfg: PipelineConfig = PipelineConfig(), mesh=None):
         self.predictor = predictor
         self.dirs = dirs if isinstance(dirs, ExperimentDirs) else bootstrap(dirs)
@@ -107,6 +128,7 @@ class Multiplexer:
         self.min_fill = min_fill
         assert min_fill is None or 0.0 <= min_fill <= 1.0
         self.max_pending_ticks = int(max_pending_ticks)
+        self.results_cap = results_cap
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
@@ -277,7 +299,8 @@ class Multiplexer:
             vad_threshold_db=calibrate_threshold(
                 noise_clip_i16, self.cfg.vad.aggressiveness),
             label_names=label_names,
-            index=len(self.streams) if row is None else row)
+            index=len(self.streams) if row is None else row,
+            results_cap=self.results_cap)
         if row is None:
             self.streams.append(stream)
         else:
@@ -286,7 +309,8 @@ class Multiplexer:
         self._gather_dirty = True
         return stream
 
-    def remove_stream(self, stream: Stream, close_log: bool = True) -> None:
+    def remove_stream(self, stream: Stream, close_log: bool = True,
+                      archive: bool = True) -> None:
         """Retire a finished conversation.  The stream stops being gathered
         immediately; its slot (streams-list position, native-gather ring row,
         stacked webrtc-state row) is recycled by a future ``add_stream`` once
@@ -294,10 +318,16 @@ class Multiplexer:
         serving arriving/ending conversations stays at its high-water stream
         count instead of growing without bound.  The Stream object (results,
         log path) stays valid; any in-flight window of it still resolves to
-        its log.  The capture is the caller's to stop (the Multiplexer never
-        owns producer threads).  Idempotent."""
-        if stream in self._retiring or stream in self.retired:
+        its log.  ``archive=False`` additionally drops the Stream object at
+        recycle time instead of keeping it in ``retired`` — the bounded-host
+        policy for high-churn deployments where the TSV log is the record
+        (the class docstring's retention policy).  The capture is the
+        caller's to stop (the Multiplexer never owns producer threads).
+        Idempotent (the first call's ``archive`` wins)."""
+        if stream.retiring:
             return
+        stream.retiring = True
+        stream.archive = archive
         self._mark_done(stream)
         if close_log:
             stream.log.close()
@@ -307,12 +337,14 @@ class Multiplexer:
     def _claim_retired_row(self) -> Optional[int]:
         """Pop a recyclable row: a retiring stream none of whose windows are
         pending or in an unresolved dispatched batch (their webrtc-state
-        scatter must land BEFORE the row is reset for the new stream)."""
+        scatter must land BEFORE the row is reset for the new stream).
+        Archives or drops the Stream per its ``remove_stream`` policy."""
         inflight = self._inflight[0] if self._inflight is not None else ()
         for i, s in enumerate(self._retiring):
             if s not in self._pending_streams and s not in inflight:
                 self._retiring.pop(i)
-                self.retired.append(s)
+                if s.archive:
+                    self.retired.append(s)
                 return s.index
         return None
 

@@ -41,3 +41,39 @@ def test_patient_probe_gives_up_after_attempts_without_trailing_sleep(monkeypatc
         attempts=3, timeout_s=1.0, recovery_sleep_s=2.0) is False
     assert n[0] == 3
     assert slept == [2.0, 2.0]  # no sleep after the final failed attempt
+
+
+def test_emit_line_is_parseable_cumulative_partial(capsys):
+    """Crash-proof emission (VERDICT r4 item 2): every section re-prints the
+    cumulative dict as one JSON line, so killing the run at ANY point leaves
+    the last stdout line a valid partial artifact; the final line carries
+    complete=true."""
+    import json
+    import time
+
+    out = {"metric": "m", "value": 1.0}
+    t0 = time.perf_counter()
+    bench._emit_line(out, t0)                    # after section 1
+    out["speaker_step_ms"] = 13.8
+    bench._emit_line(out, t0)                    # after section 2
+    bench._emit_line(out, t0, complete=True)     # end of run
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    parsed = [json.loads(l) for l in lines]      # every line parses alone
+    assert parsed[0]["complete"] is False and "speaker_step_ms" not in parsed[0]
+    assert parsed[1]["speaker_step_ms"] == 13.8
+    assert parsed[2]["complete"] is True
+    assert all("elapsed_s" in p for p in parsed)
+
+
+def test_section_budget_skips_heavy_tail_only():
+    """BENCH_BUDGET_S: sections whose estimate exceeds the remaining budget
+    are skipped and recorded; unset budget never skips."""
+    import time
+
+    out = {}
+    t0 = time.perf_counter()
+    assert not bench._section_over_budget(out, "live64", 1e9, t0, 0)
+    assert not bench._section_over_budget(out, "speaker", 0.0, t0, 3600)
+    assert bench._section_over_budget(out, "live1024", 1e9, t0, 3600)
+    assert out["skipped_sections"] == ["live1024"]

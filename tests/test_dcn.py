@@ -115,3 +115,127 @@ def test_two_process_cpu_coordinator(tmp_path, n_proc):
     for out_path in outs:
         got = json.loads(out_path.read_text())
         assert got["mean"] == pytest.approx(want, rel=1e-6), got
+
+
+_FIT_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")          # axon sitecustomize override
+import numpy as np
+import optax
+
+coord, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+from mmla_audio_tpu.parallel import distributed as dist
+
+dist.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+mesh = dist.global_mesh()
+
+from tests.test_dcn import _fit_workload
+
+model, tr, state, x, y = _fit_workload()
+# each host contributes ITS OWN half of the global batch (no raw audio
+# crosses DCN); the assembled global arrays ride fit's jax.Array fast path
+xg = dist.host_local_batch_to_global(x[pid * 8: (pid + 1) * 8], mesh)
+yg = dist.host_local_batch_to_global(y[pid * 8: (pid + 1) * 8], mesh)
+state, hist = tr.fit(state, xg, yg, epochs=1, batch_size=8,
+                     rng=jax.random.PRNGKey(1), mesh=mesh)
+digest = [[str(p), float(np.mean(np.asarray(l))),
+           float(np.max(np.abs(np.asarray(l))))]
+          for p, l in jax.tree_util.tree_leaves_with_path(state.params)]
+json.dump({"pid": pid, "loss": hist["loss"], "digest": digest},
+          open(out_path, "w"))
+"""
+
+
+def _fit_workload():
+    """Deterministic tiny fit problem shared by the 2-process workers and
+    the single-process reference (imported by both, so one definition)."""
+    import optax
+
+    import jax
+
+    from mmla_audio_tpu.core.config import SpeakerModelConfig
+    from mmla_audio_tpu.models.speaker import SpeakerResBLSTM
+    from mmla_audio_tpu.train import Trainer, keras_categorical_crossentropy
+
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=2)
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 256, 39).astype(np.float32)
+    x[:8, :, :8] += 3
+    y = np.zeros((16, 2), np.float32)
+    y[:8, 0] = 1
+    y[8:, 1] = 1
+    model = SpeakerResBLSTM(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    # SGD: no preconditioner amplification of cross-process reduction-order
+    # noise, so tight equality with the single-process run is meaningful
+    # (same rationale as tests/test_parallel_training.py)
+    tr = Trainer(model, optax.sgd(1e-3), keras_categorical_crossentropy)
+    return model, tr, tr.init_state(variables), x, y
+
+
+def test_two_process_trainer_fit_matches_single(tmp_path):
+    """The production training surface across a process boundary (VERDICT
+    r4 item 8): one ``Trainer.fit`` epoch on a 2-process 8-device global
+    mesh — host-local batch halves assembled via
+    ``host_local_batch_to_global``, gradients all-reduced over the
+    simulated DCN — must match the single-process single-device fit."""
+    with socket.socket() as s:
+        try:
+            s.bind(("127.0.0.1", 0))
+        except OSError:
+            pytest.skip("sandbox blocks local sockets")
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    worker = tmp_path / "fit_worker.py"
+    worker.write_text(_FIT_WORKER)
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(2):
+        out_path = tmp_path / f"fit_out{pid}.json"
+        outs.append(out_path)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), coord, str(pid), str(out_path)],
+            cwd=str(repo), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    rcs, logs = [], []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        rcs.append(p.returncode)
+        logs.append(se.decode(errors="replace")[-2000:])
+    if any(rc != 0 for rc in rcs):
+        joined = "\n---\n".join(logs)
+        if "UNAVAILABLE" in joined or "failed to connect" in joined.lower():
+            pytest.skip(f"coordinator unreachable in sandbox: {joined[-300:]}")
+        raise AssertionError(f"fit worker failed rc={rcs}:\n{joined}")
+
+    import jax
+
+    model, tr, state, x, y = _fit_workload()
+    state, hist = tr.fit(state, x, y, epochs=1, batch_size=8,
+                         rng=jax.random.PRNGKey(1))
+    want_digest = [[str(p), float(np.mean(np.asarray(l))),
+                    float(np.max(np.abs(np.asarray(l))))]
+                   for p, l in
+                   jax.tree_util.tree_leaves_with_path(state.params)]
+    for out_path in outs:
+        got = json.loads(out_path.read_text())
+        np.testing.assert_allclose(got["loss"], hist["loss"],
+                                   rtol=1e-4, atol=1e-5)
+        assert len(got["digest"]) == len(want_digest)
+        for (pa, ma, xa), (pb, mb, xb) in zip(got["digest"], want_digest):
+            assert pa == pb
+            np.testing.assert_allclose([ma, xa], [mb, xb],
+                                       rtol=1e-4, atol=1e-5, err_msg=pa)

@@ -56,6 +56,11 @@ def main():
                     help="only show files below this coverage %%")
     ap.add_argument("--spans", action="store_true",
                     help="print uncovered line spans per file")
+    ap.add_argument("--json", metavar="OUT", default=None,
+                    help="also write a machine-readable artifact (total "
+                         "percent + per-file percent + uncovered spans) — "
+                         "the per-round committed coverage record "
+                         "(benchmarks/results/coverage_rN.json)")
     args = ap.parse_args()
 
     with open(args.dump) as f:
@@ -94,6 +99,21 @@ def main():
     if tot_exec:
         print(f"\nTOTAL {100.0 * tot_hit / tot_exec:.1f}% "
               f"({tot_hit}/{tot_exec} executable lines)")
+    if args.json:
+        payload = {
+            "total_pct": round(100.0 * tot_hit / max(tot_exec, 1), 1),
+            "hit_lines": tot_hit,
+            "executable_lines": tot_exec,
+            "files": [
+                {"file": rel(fn), "pct": round(pct, 1),
+                 "uncovered": [f"{a}" if a == b else f"{a}-{b}"
+                               for a, b in spans(missing)]}
+                for pct, fn, missing in rows
+            ],
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

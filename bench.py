@@ -362,12 +362,13 @@ def bench_registration():
     learner.fit_once(x, y, seed=0)
     t_first = time.perf_counter() - t0
     _log(f"first attempt {t_first:.1f} s; steady ...")
-    # median of 3: single steady attempts recorded 1.7-2.27 s (28 % spread)
-    # across rounds for the identical workload — host/tunnel jitter, not
-    # compute.  The north-star number is the median, with min/max kept as
-    # spread fields (VERDICT r4 item 7).
+    # median of 5: single steady attempts recorded 1.7-4.1 s across rounds
+    # for the identical workload — host/tunnel jitter, not compute (r5 saw
+    # a 4.09 -> 2.79 warming trend within one run).  The north-star number
+    # is the median, with min/max kept as spread fields (VERDICT r4 item 7);
+    # each attempt is ~2-3 s so the extra reps are cheap.
     times = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.perf_counter()
         _, acc, _ = learner.fit_once(x, y, seed=1 + rep)
         times.append(time.perf_counter() - t0)

@@ -129,6 +129,7 @@ class Multiplexer:
         assert min_fill is None or 0.0 <= min_fill <= 1.0
         self.max_pending_ticks = int(max_pending_ticks)
         self.results_cap = results_cap
+        self._calib_cache: Dict[bytes, tuple] = {}
         self.cfg = cfg
         self.mesh = mesh
         self.streams: List[Stream] = []
@@ -281,23 +282,49 @@ class Multiplexer:
         else:
             self._program = jax.jit(fn)
 
+    def _calibrate(self, noise_clip_i16: np.ndarray):
+        """(noise_thresh, vad_threshold_db) for an ambient clip, cached by
+        content digest: fleets of streams typically share one ambient
+        profile, and the per-band threshold is a device round-trip (~33 ms
+        through the dev tunnel) — admitting 1,024 streams paid ~34 s of
+        identical device calls before this cache.  The digest hashes the
+        raw bytes (~50 us for a 10 s clip), so callers that reuse OR
+        mutate-and-reuse a buffer both get correct results."""
+        import hashlib
+
+        from mmla_audio_tpu.vad import calibrate_threshold
+
+        key = hashlib.sha1(noise_clip_i16.tobytes()).digest()
+        hit = self._calib_cache.get(key)
+        if hit is None:
+            nf = noise_clip_i16.astype(np.float32) / 32768.0
+            hit = (np.asarray(noise_threshold(jnp.asarray(nf),
+                                              self.cfg.denoise)),
+                   calibrate_threshold(noise_clip_i16,
+                                       self.cfg.vad.aggressiveness))
+            # bounded like every other host-side structure (the retention
+            # policy above): distinct ambient profiles evict FIFO past 256
+            # entries — re-deriving an evicted profile is just the original
+            # cost, never a correctness issue
+            if len(self._calib_cache) >= 256:
+                self._calib_cache.pop(next(iter(self._calib_cache)))
+            self._calib_cache[key] = hit
+        return hit
+
     # -- stream management --------------------------------------------------------
     def add_stream(self, name: str, capture, noise_clip_i16: np.ndarray,
                    label_names: Optional[Dict[str, str]] = None,
                    now: Optional[datetime] = None) -> Stream:
         from mmla_audio_tpu.streaming.session import session_stamp
-        from mmla_audio_tpu.vad import calibrate_threshold
 
         log = SessionLog(self.dirs.logs / f"{session_stamp(now)}-{name}.txt",
                          kind=self.kind, start_index=1)
-        nf = noise_clip_i16.astype(np.float32) / 32768.0
+        noise_thresh, vad_db = self._calibrate(noise_clip_i16)
         row = self._claim_retired_row()
         stream = Stream(
             name, capture, log,
-            noise_thresh=np.asarray(noise_threshold(jnp.asarray(nf),
-                                                    self.cfg.denoise)),
-            vad_threshold_db=calibrate_threshold(
-                noise_clip_i16, self.cfg.vad.aggressiveness),
+            noise_thresh=noise_thresh,
+            vad_threshold_db=vad_db,
             label_names=label_names,
             index=len(self.streams) if row is None else row,
             results_cap=self.results_cap)

@@ -483,3 +483,43 @@ def test_churn_soak_host_objects_bounded(tmp_path):
     mux.remove_stream(s0, archive=False)
     mux.remove_stream(s0)                       # archive flag must not flip
     assert s0.archive is False and len(mux.retired) == 0
+
+
+def test_calibration_cache_shared_profile_computed_once(tmp_path, monkeypatch):
+    """Fleets of streams typically share one ambient profile; the per-band
+    noise threshold is a device round-trip per derivation (~33 ms via the
+    dev tunnel), so add_stream caches calibration by CONTENT digest:
+    same bytes -> one derivation (even via a mutated-then-restored buffer),
+    different bytes -> fresh derivation, cache bounded FIFO."""
+    import mmla_audio_tpu.streaming.multiplex as mx
+
+    calls = []
+    real = mx.noise_threshold
+    monkeypatch.setattr(mx, "noise_threshold",
+                        lambda nf, cfg: calls.append(1) or real(nf, cfg))
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="overlap", bucket=4)
+    noise_a, noise_b = _noise(seed=1), _noise(seed=2)
+
+    caps = [CaptureThread(ArraySource(synth_speech_i16(40960, seed=s))).start()
+            for s in range(4)]
+    s0 = mux.add_stream("a0", caps[0], noise_a)
+    s1 = mux.add_stream("a1", caps[1], noise_a.copy())   # same content
+    assert len(calls) == 1                               # one derivation
+    assert s1.vad_threshold_db == s0.vad_threshold_db
+    np.testing.assert_array_equal(s1.noise_thresh, s0.noise_thresh)
+    s2 = mux.add_stream("b0", caps[2], noise_b)          # different content
+    assert len(calls) == 2
+    assert not np.array_equal(s2.noise_thresh, s0.noise_thresh)
+    mux.add_stream("a2", caps[3], noise_a)               # still cached
+    assert len(calls) == 2
+    # bound: the cache evicts FIFO past 256 distinct profiles
+    assert len(mux._calib_cache) == 2
+    mux._calib_cache = {bytes([i % 256, i // 256]): None for i in range(256)}
+    cap = CaptureThread(ArraySource(synth_speech_i16(40960, seed=9))).start()
+    caps.append(cap)
+    mux.add_stream("c0", cap, noise_b)
+    assert len(mux._calib_cache) == 256
+    for c in caps:
+        c.stop()

@@ -298,3 +298,28 @@ def test_overlap_post_analyze_energy_decision(tmp_path):
     assert len(rows) >= 2
     assert all(r[1] in ("non-overlapped", "overlapped", "silent")
                for r in rows)
+
+
+def test_speaker_post_analyze_energy_decision(tmp_path):
+    """SI post-time replay with --vad energy: per-segment silent marking
+    goes through the cached jitted energy kept-frame counter instead of the
+    webrtc scan (the SI twin of the overlap energy replay test)."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        vad=dataclasses.replace(PipelineConfig().vad, decision="energy"))
+    dirs = _experiment_with_conversation(tmp_path, seconds=6)
+    write_wav(dirs.corpus / "alice.wav", synth_speech_i16(16000, seed=5))
+    write_wav(dirs.corpus / "bob.wav", synth_speech_i16(16000, seed=6))
+    sid = speaker_id_dict_from_corpus(dirs.corpus)
+    model = SpeakerResBLSTM(head_units=2)
+    pred = SpeakerPredictor(model.init_variables(jax.random.PRNGKey(0)),
+                            head_units=2, sigmoid_head=True)
+    logs = speaker_post_analyze(dirs, pred, speaker_id_dict=sid, cfg=cfg,
+                                start_time=datetime(2026, 1, 1))
+    rows = parse_log(list(logs.values())[0])
+    assert len(rows) == 3
+    assert all(r[1] in ("alice", "bob", "silent") for r in rows)

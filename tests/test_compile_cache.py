@@ -137,3 +137,25 @@ def test_enable_existing_readonly_dir_is_nonfatal(tmp_path, capsys,
     got = cc.enable_compile_cache(ro)
     assert got is None
     assert "not writable" in capsys.readouterr().err
+
+
+def test_enable_success_path_sets_jax_config(tmp_path, monkeypatch):
+    """The happy path points JAX's persistent cache at the (created) dir and
+    sets the compile-time/entry-size floors — asserted via a recorded
+    jax.config.update so the suite process's real global config is never
+    mutated (the cross-process cache-hit test exercises the real effect in
+    subprocesses)."""
+    import jax
+
+    from mmla_audio_tpu.utils.compile_cache import enable_compile_cache
+
+    calls = {}
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: calls.__setitem__(k, v))
+    path = enable_compile_cache(tmp_path / "cache", min_compile_seconds=2.5,
+                                min_entry_bytes=7)
+    assert path == tmp_path / "cache" and path.is_dir()
+    assert calls["jax_enable_compilation_cache"] is True
+    assert calls["jax_compilation_cache_dir"] == str(path)
+    assert calls["jax_persistent_cache_min_compile_time_secs"] == 2.5
+    assert calls["jax_persistent_cache_min_entry_size_bytes"] == 7

@@ -181,3 +181,65 @@ def test_load_labels_xlsx_missing_column(tmp_path):
     _write_xlsx(p, ["Sessions", "Segments"], [["s0", 1]])
     with pytest.raises(KeyError):
         load_labels_xlsx(p)
+
+
+def test_rtf_meter_window_context_and_empty_meters():
+    """RtfMeter.window times a with-block (even on exception) and empty
+    meters report 0 rather than dividing by nothing — the BASELINE metrics
+    (rtf, p50 window-to-decision) must be safe to read before any decision."""
+    import pytest
+
+    from mmla_audio_tpu.utils.timers import RtfMeter
+
+    m = RtfMeter(window_seconds=2.56)
+    assert m.rtf == 0.0 and m.p50_ms == 0.0        # pre-decision reads
+    with m.window(batch=4):
+        pass
+    with pytest.raises(ValueError):
+        with m.window(batch=2):                     # exceptional exit still records
+            raise ValueError("boom")
+    assert len(m.latencies) == 2 and m.windows == [4, 2]
+    assert m.rtf > 0.0 and m.p50_ms >= 0.0
+
+
+def test_read_xlsx_exotic_cell_types(tmp_path):
+    """The xlsx cell types real spreadsheet tools emit beyond shared
+    strings: inlineStr, formula-cached str, booleans, empty <v>-less cells,
+    a missing sharedStrings part, and numeric sheet ordering (sheet10 after
+    sheet2) — each previously-uncovered branch of read_xlsx."""
+    import zipfile
+
+    from mmla_audio_tpu.data.datasets import read_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet2 = (f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+              '<row r="1">'
+              '<c r="A1" t="inlineStr"><is><t>name</t></is></c>'
+              '<c r="B1" t="str"><v>calc</v></c>'
+              '<c r="C1" t="inlineStr"/>'
+              '</row>'
+              '<row r="2">'
+              '<c r="A2" t="b"><v>1</v></c>'
+              '<c r="B2"><v>2.5</v></c>'
+              '<c r="C2"/>'
+              '</row></sheetData></worksheet>')
+    sheet10 = (f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+               '<row r="1"><c r="A1"><v>10</v></c></row>'
+               '</sheetData></worksheet>')
+    p = tmp_path / "exotic.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:       # no sharedStrings.xml at all
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+        zf.writestr("xl/worksheets/sheet10.xml", sheet10)
+    header, rows = read_xlsx(p, sheet=0)      # numeric order: sheet2 first
+    assert header == ["name", "calc", ""]
+    assert rows == [[True, 2.5, None]]
+    header10, rows10 = read_xlsx(p, sheet=1)
+    assert header10 == ["10"] and rows10 == []
+
+    import pytest
+
+    empty = tmp_path / "empty.xlsx"
+    with zipfile.ZipFile(empty, "w") as zf:
+        zf.writestr("xl/x.xml", "<x/>")
+    with pytest.raises(ValueError, match="no worksheets"):
+        read_xlsx(empty)

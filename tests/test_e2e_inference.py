@@ -183,3 +183,60 @@ def test_post_time_log_timestamps(tmp_path):
     assert rows[1][2] == "2026-01-01 12:00:02.560000"
     labels = OVERLAP_LABELS_3WAY
     assert labels["2"] == "silent"
+
+
+def test_odd_input_dtypes_cast_to_float32():
+    """int16/float32 pass through _as_device_pcm untouched; any other dtype
+    (float64 host buffers, int32 from a decoder) casts to float32 host-side
+    and must land on the exact same labels/probs as the float32 call."""
+    cfg = OverlapModelConfig(stage_filters=(4, 4, 4), lstm_units=8)
+    pred = OverlapPredictor(
+        OverlapResBLSTM(cfg).init_variables(jax.random.PRNGKey(0)),
+        model_cfg=cfg)
+    buf = synth_speech_i16(40960, seed=5).astype(np.float32)
+    n = np.array([40960], np.int32)
+    want_l, want_p = pred.predict(buf[None], n)
+    for dtype in (np.float64, np.int32):
+        got_l, got_p = pred.predict(buf[None].astype(dtype), n)
+        np.testing.assert_array_equal(np.asarray(got_l), np.asarray(want_l))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_pallas_predictor_path_and_config_guard():
+    """OverlapPredictor(use_pallas=True): labels must match the jnp
+    featurizer path exactly (the kernel is correctness-pinned), and a
+    feature config that disables the hardcoded PNG quantize / row flip is
+    refused rather than silently diverging between the paths."""
+    import dataclasses
+
+    import pytest
+
+    from mmla_audio_tpu.core.config import OverlapFeatureConfig
+
+    cfg = OverlapModelConfig(stage_filters=(4, 4, 4), lstm_units=8)
+    variables = OverlapResBLSTM(cfg).init_variables(jax.random.PRNGKey(0))
+    buf = synth_speech_i16(40960, seed=11)[None]
+    n = np.array([40960], np.int32)
+    ref_l, ref_p = OverlapPredictor(variables, model_cfg=cfg).predict(buf, n)
+    pal_l, pal_p = OverlapPredictor(variables, model_cfg=cfg,
+                                    use_pallas=True).predict(buf, n)
+    np.testing.assert_array_equal(np.asarray(pal_l), np.asarray(ref_l))
+    np.testing.assert_allclose(np.asarray(pal_p), np.asarray(ref_p),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="use_pallas requires"):
+        OverlapPredictor(variables, model_cfg=cfg, use_pallas=True,
+                         feat_cfg=dataclasses.replace(OverlapFeatureConfig(),
+                                                      png_quantize=False))
+
+
+def test_speaker_predictor_fast_mode_single_window():
+    """matmul_precision=None (the explicit fast opt-out) through the 1-D
+    single-window predict API."""
+    cfg = SpeakerModelConfig(stage_filters=(4, 4, 4), lstm_units=8,
+                             num_speakers=3)
+    pred = SpeakerPredictor(
+        SpeakerResBLSTM(cfg).init_variables(jax.random.PRNGKey(1)),
+        model_cfg=cfg, matmul_precision=None)
+    label, probs = pred.predict(synth_speech_i16(40960, seed=3), 40960)
+    assert probs.shape == (3,)
+    assert int(label) in (SILENT, 0, 1, 2)

@@ -523,3 +523,84 @@ def test_calibration_cache_shared_profile_computed_once(tmp_path, monkeypatch):
     assert len(mux._calib_cache) == 256
     for c in caps:
         c.stop()
+
+
+def test_python_fallback_gather_matches_native(tmp_path):
+    """When a stream's capture has no native SPSC ring (toolchain-less
+    install, raw source), the per-stream Python poll loop must produce the
+    SAME decisions as the native batch gather for the same audio."""
+
+    class _WindowCapture:
+        """Minimal ring-less capture: hands out whole queued windows."""
+
+        def __init__(self, windows):
+            self._w = list(windows)
+            self.source = self
+
+        @property
+        def exhausted(self):
+            return not self._w
+
+        def read_window(self, n_samples, timeout=0.0):
+            if not self._w:
+                return None
+            w = self._w.pop(0)
+            assert len(w) == n_samples
+            return w
+
+        def stop(self):
+            pass
+
+    pred = OverlapPredictor(
+        OverlapResBLSTM().init_variables(jax.random.PRNGKey(0)))
+    noise = _noise(seed=3)
+    audio = [synth_speech_i16(40960, seed=s) for s in range(3)]
+
+    # native path (CaptureThread -> NativeRingBuffer -> BatchGather)
+    mux_n = Multiplexer(pred, tmp_path / "nat", kind="overlap", bucket=4)
+    caps = [CaptureThread(ArraySource(a)).start() for a in audio]
+    streams_n = [mux_n.add_stream(f"n{s}", c, noise)
+                 for s, c in enumerate(caps)]
+    assert mux_n.run_until_exhausted() == 3
+    for c in caps:
+        c.stop()
+    assert mux_n._batch_gather is not None          # really the native path
+
+    # fallback path (ring-less captures force the Python poll loop)
+    mux_p = Multiplexer(pred, tmp_path / "py", kind="overlap", bucket=4)
+    streams_p = [mux_p.add_stream(f"p{s}", _WindowCapture([a]), noise)
+                 for s, a in enumerate(audio)]
+    assert mux_p.run_until_exhausted() == 3
+    assert mux_p._batch_gather is None              # really the fallback
+    for sn, sp in zip(streams_n, streams_p):
+        assert [r[1] for r in sn.results] == [r[1] for r in sp.results]
+
+
+def test_multiplexer_energy_mode_speaker_on_mesh(tmp_path):
+    """The energy opt-out decision through the mesh-sharded DataParallel
+    batch program, speaker kind without label_names (numeric labels) — the
+    non-webrtc corner of the serving matrix."""
+    import dataclasses
+
+    from mmla_audio_tpu.core.config import PipelineConfig, VadConfig
+
+    cfg = dataclasses.replace(PipelineConfig(),
+                              vad=VadConfig(decision="energy"))
+    pred = SpeakerPredictor(
+        SpeakerResBLSTM(head_units=2).init_variables(jax.random.PRNGKey(1)),
+        head_units=2, sigmoid_head=True)
+    mux = Multiplexer(pred, tmp_path / "experiment", kind="speaker",
+                      bucket=8, cfg=cfg, mesh=make_mesh())
+    assert not mux._use_webrtc
+    caps = []
+    for s in range(2):
+        cap = CaptureThread(
+            ArraySource(synth_speech_i16(40960, seed=20 + s))).start()
+        caps.append(cap)
+        mux.add_stream(f"s{s}", cap, _noise(seed=1))
+    assert mux.run_until_exhausted() == 2
+    for c in caps:
+        c.stop()
+    for s in mux.streams:
+        assert len(s.results) == 1
+        assert s.results[0][1] in ("0", "1", "silent")   # numeric fallthrough

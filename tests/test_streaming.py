@@ -538,3 +538,134 @@ def test_session_save_recordings_and_telemetry(tmp_path):
     idx, label, _ = results[0]
     assert sent == [label]
     assert (sess.rec_dir / f"{idx}.wav").exists()
+
+
+def test_pyaudio_source_reference_suspend_resume_semantics(monkeypatch):
+    """PyAudioSource against a stubbed pyaudio module (no mic in this env):
+    int16 read, the reference's suspend (stop+close) / resume (reopen)
+    semantics (`record_on_pi.py:139-159`), and close terminating the PA
+    handle even if the stream close raises."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _Stream:
+        def __init__(self, log):
+            self.log = log
+
+        def read(self, n, exception_on_overflow=True):
+            assert exception_on_overflow is False   # reference flag
+            return (np.arange(n, dtype=np.int16)).tobytes()
+
+        def stop_stream(self):
+            self.log.append("stop")
+
+        def close(self):
+            self.log.append("close")
+
+    class _PA:
+        def __init__(self, log):
+            self.log = log
+
+        def open(self, **kwargs):
+            self.log.append(("open", kwargs["rate"], kwargs["input"]))
+            return _Stream(self.log)
+
+        def terminate(self):
+            self.log.append("terminate")
+
+    log = []
+    stub = types.ModuleType("pyaudio")
+    stub.paInt16 = 8
+    stub.PyAudio = lambda: _PA(log)
+    monkeypatch.setitem(sys.modules, "pyaudio", stub)
+
+    from mmla_audio_tpu.streaming.capture import PyAudioSource
+
+    src = PyAudioSource()
+    out = src.read(5)
+    assert out.dtype == np.int16 and out.shape == (5,)
+    assert out.flags.writeable                      # .copy() off the buffer
+    src.suspend()
+    assert log[-2:] == ["stop", "close"]
+    src.resume()
+    assert log[-1][0] == "open"
+    src.close()
+    assert log[-1] == "terminate" and "close" in log[-3:]
+
+
+def test_fake_pcm_source_realtime_paces_reads(monkeypatch):
+    """realtime=True sleeps n/sr per read — the pacing used when a fake
+    source stands in for a live mic."""
+    from mmla_audio_tpu.core.config import AudioConfig
+    from mmla_audio_tpu.streaming.capture import FakePCMSource
+
+    slept = []
+    import mmla_audio_tpu.streaming.capture as cap_mod
+
+    monkeypatch.setattr(cap_mod.time, "sleep", slept.append)
+    src = FakePCMSource(AudioConfig(), seed=0, realtime=True)
+    out = src.read(1600)
+    assert out.shape == (1600,) and out.dtype == np.int16
+    assert slept and abs(slept[0] - 1600 / 16000) < 1e-9
+
+
+def test_py_ring_wraparound_clear_and_native_guards(monkeypatch):
+    """The pure-Python ring's wraparound copy branches, clear(), and the
+    native-unavailable guard paths (make_ring falls back to PyRingBuffer;
+    NativeRingBuffer/BatchGather raise) — the toolchain-less-install story."""
+    import mmla_audio_tpu.streaming.native as native
+
+    ring = PyRingBuffer(8)                      # cap rounds to 8
+    assert ring.capacity == 8
+    assert ring.push(np.arange(6, dtype=np.int16)) == 6
+    assert np.array_equal(ring.pop(4), np.arange(4, dtype=np.int16))
+    # head at 6, tail at 4: this push and pop both wrap past the boundary
+    assert ring.push(np.arange(10, 15, dtype=np.int16)) == 5
+    out = ring.pop(7)
+    assert np.array_equal(out, np.array([4, 5, 10, 11, 12, 13, 14],
+                                        np.int16))
+    ring.push(np.arange(3, dtype=np.int16))
+    ring.clear()
+    assert ring.available == 0 and ring.pop(1) is None
+    assert ring.underruns == 1
+
+    monkeypatch.setattr(native, "load_native", lambda: None)
+    with pytest.raises(RuntimeError, match="native library unavailable"):
+        native.NativeRingBuffer(8)
+    with pytest.raises(RuntimeError, match="rb_pop_batch unavailable"):
+        native.BatchGather([])
+    fallback = native.make_ring(8)
+    assert isinstance(fallback, PyRingBuffer)
+
+    monkeypatch.undo()
+    if native.load_native() is not None:        # toolchain present here
+        nring = native.NativeRingBuffer(8)
+        with pytest.raises(RuntimeError, match="must be native"):
+            native.BatchGather([nring, PyRingBuffer(8)])
+        gather = native.BatchGather([nring])
+        assert len(gather) == 1
+
+
+def test_host_preprocessor_guard_and_init_threshold(monkeypatch):
+    """HostPreprocessor refuses to construct without the native VAD engine
+    (host_preprocess is precisely the native-engine arrangement), and a
+    noise threshold passed at construction is committed immediately."""
+    import mmla_audio_tpu.streaming.hostpre as hp
+
+    from mmla_audio_tpu.core.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    monkeypatch.setattr(hp, "native_available", lambda: False)
+    with pytest.raises(RuntimeError, match="native webrtcvad"):
+        hp.HostPreprocessor(cfg)
+    monkeypatch.undo()
+    if hp.native_available():
+        nt = np.full((1 + cfg.denoise.n_fft // 2,), 1e-4, np.float32)
+        pre = hp.HostPreprocessor(cfg, noise_thresh=nt)
+        trimmed, n_out = pre.window(
+            synth_speech_i16(cfg.audio.window_samples, seed=2)
+            .astype(np.float32))
+        assert trimmed.dtype == np.int16
+        assert 0 <= n_out <= cfg.audio.window_samples

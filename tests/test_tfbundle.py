@@ -249,3 +249,38 @@ def test_load_checkpoint_variables_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(model.apply(v, x)),
                                np.asarray(model.apply(loaded, x)),
                                rtol=0, atol=0)
+
+
+def test_proto_walker_wire_types_and_guard():
+    """_proto_fields handles every wire type TF checkpoints can legally
+    contain (varint, fixed64, bytes, fixed32) and refuses the deprecated
+    group wires rather than silently desynchronizing the stream."""
+    import struct
+
+    from mmla_audio_tpu.tfbundle import _proto_fields
+
+    buf = (bytes([1 << 3 | 0, 5])                       # field 1 varint 5
+           + bytes([2 << 3 | 1]) + struct.pack("<Q", 7)  # field 2 fixed64
+           + bytes([3 << 3 | 2, 2]) + b"hi"              # field 3 bytes
+           + bytes([4 << 3 | 5]) + struct.pack("<I", 9)) # field 4 fixed32
+    assert list(_proto_fields(buf)) == [
+        (1, 0, 5), (2, 1, 7), (3, 2, b"hi"), (4, 5, 9)]
+    with pytest.raises(ValueError, match="unsupported wire type"):
+        list(_proto_fields(bytes([1 << 3 | 3])))         # start-group
+
+
+def test_tiny_index_file_rejected(tmp_path):
+    p = tmp_path / "variables.index"
+    p.write_bytes(b"tiny")
+    with pytest.raises(ValueError, match="too small"):
+        read_index(p)
+
+
+def test_truncated_shard_detected(tmp_path):
+    """A shard shorter than an entry's (offset, size) extent must fail
+    loudly — a silently short read would hand back garbage weights."""
+    write_bundle(tmp_path / "variables", {"w": np.ones((64,), np.float32)})
+    data = tmp_path / "variables.data-00000-of-00001"
+    data.write_bytes(data.read_bytes()[:40])             # chop mid-tensor
+    with pytest.raises(ValueError, match="shard truncated"):
+        read_bundle(tmp_path / "variables")

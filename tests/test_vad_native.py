@@ -163,3 +163,37 @@ def test_vadbox_backend_equivalence():
     # and a device-side scan's state can be written back into the native box
     bn.state = sj
     assert np.array_equal(bn.decisions(sig[:n]), bj.decisions(sig[:n]))
+
+
+def test_native_vad_guards_and_bad_inputs():
+    """Error paths of the native engine wrapper: unavailable lib, bad
+    set_mode, non-standard frame length in is_speech (the py-webrtcvad API
+    raises there too), wrong state-slot count."""
+    import numpy as np
+    import pytest
+
+    import mmla_audio_tpu.vad.native as vn
+
+    if not vn.native_available():
+        pytest.skip("no native library in this environment")
+    v = vn.NativeWebRtcVad(3)
+    with pytest.raises(ValueError, match="invalid aggressiveness"):
+        vn.NativeWebRtcVad(7)
+    with pytest.raises(ValueError, match="invalid aggressiveness"):
+        v.set_mode(9)
+    v.set_mode(2)
+    assert v.mode == 2
+    with pytest.raises(ValueError, match="invalid frame length"):
+        v.is_speech(np.zeros(123, np.int16))    # not 10/20/30 ms @ 16 kHz
+    # py-webrtcvad API shape: raw little-endian PCM bytes are accepted
+    assert v.is_speech(np.zeros(480, np.int16).tobytes()) in (True, False)
+    with pytest.raises(ValueError, match="slots"):
+        v.state_array = np.zeros(3, np.int32)
+    # unavailable-lib construction guard
+    orig = vn._lib
+    vn._lib = lambda: None
+    try:
+        with pytest.raises(RuntimeError, match="unavailable"):
+            vn.NativeWebRtcVad(3)
+    finally:
+        vn._lib = orig
